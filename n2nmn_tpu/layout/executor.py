@@ -1,0 +1,178 @@
+"""In-graph padded stack-machine executor for module layouts.
+
+This is the TPU-native replacement for the TensorFlow Fold "Loom"
+dynamic-batching VM (reference models_clevr/nmn3_model.py:55-159 +
+compiler.build_feed_dict host step at exp_clevr/train_clevr_gt_layout.py:190):
+instead of scheduling each example's expression *tree* on the host, the
+predicted token sequence [T_dec, N] is executed directly as a Reverse
+Polish program on a fixed-shape attention stack inside one jax.lax.scan —
+the whole batch is one XLA program with static shapes.
+
+Per step every module in the library is evaluated densely for the full
+batch (cheap: all heavy matmuls are hoisted into a batched precompute
+outside the scan) and the per-example result is selected by one-hot over
+the emitted token — structurally like an MoE layer with replicated expert
+weights. Invalid programs (possible for the unmasked SHAPES decoder) are
+tracked by the same validity automaton used for decoding and produce the
+reference's dummy all-zero answer scores (nmn3_model.py:146-155).
+
+Gradients flow from the answer loss through the stack reads/writes into the
+module parameters and the decoder's word_vecs — the same path the
+reference routes across its two partial_run phases.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from n2nmn_tpu.layout.grammar import ModuleGrammar
+
+
+@dataclasses.dataclass(frozen=True)
+class ExecutorTables:
+    """Static per-vocab tables as device arrays."""
+    arity: jnp.ndarray      # [V] int32
+    is_att: jnp.ndarray     # [V] bool
+    is_ans: jnp.ndarray     # [V] bool
+    att_slot: jnp.ndarray   # [V] int32: index into att branch list (0 pad)
+    ans_slot: jnp.ndarray   # [V] int32
+    P: jnp.ndarray          # [V, 3] int32
+    W: jnp.ndarray          # [3, V, 4] int32
+    b: jnp.ndarray          # [V, 4] int32
+    eos_idx: int
+    num_att: int
+    num_ans: int
+
+
+def build_tables(grammar: ModuleGrammar, att_names: Sequence[str],
+                 ans_names: Sequence[str]) -> ExecutorTables:
+    v = grammar.num_vocab
+    att_slot = np.zeros(v, np.int32)
+    ans_slot = np.zeros(v, np.int32)
+    for i, name in enumerate(grammar.module_names):
+        if name in att_names:
+            att_slot[i] = att_names.index(name)
+        if name in ans_names:
+            ans_slot[i] = ans_names.index(name)
+    return ExecutorTables(
+        arity=jnp.asarray(grammar.arity),
+        is_att=jnp.asarray(grammar.is_att),
+        is_ans=jnp.asarray(grammar.is_ans),
+        att_slot=jnp.asarray(att_slot),
+        ans_slot=jnp.asarray(ans_slot),
+        P=jnp.asarray(grammar.P),
+        W=jnp.asarray(grammar.W),
+        b=jnp.asarray(grammar.b),
+        eos_idx=grammar.eos_idx,
+        num_att=len(att_names),
+        num_ans=len(ans_names),
+    )
+
+
+# A branch fn maps (pre_static, pre_step_t, in0, in1, t) -> output.
+# in0/in1 are flattened attention maps [N, HW]; att branches return
+# [N, HW], ans branches return [N, num_choices].
+BranchFn = Callable[..., jnp.ndarray]
+
+
+def execute_layout(tokens: jnp.ndarray,
+                   tables: ExecutorTables,
+                   att_branches: List[BranchFn],
+                   ans_branches: List[BranchFn],
+                   pre_static,
+                   pre_step,
+                   hw: int,
+                   num_choices: int,
+                   stack_size: int | None = None):
+    """Run the padded RPN program.
+
+    tokens: [T_dec, N] int32 module tokens (Reverse Polish order).
+    pre_static: pytree of batch-level precomputes (no time axis).
+    pre_step: pytree of per-step precomputes with leading axis T_dec
+              (e.g. per-module text mappings fc(word_vecs)).
+    Returns (scores [N, num_choices], validity [N] bool).
+    """
+    T, N = tokens.shape
+    S = stack_size if stack_size is not None else T
+    dtype = jnp.float32
+    for leaf in jax.tree_util.tree_leaves(pre_static):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                     jnp.floating):
+            dtype = leaf.dtype
+            break
+
+    stack0 = jnp.zeros((N, S, hw), dtype)
+    ptr0 = jnp.zeros((N,), jnp.int32)
+    scores0 = jnp.zeros((N, num_choices), dtype)
+    X0 = jnp.tile(jnp.array([[0, 0, T]], jnp.int32), (N, 1))
+    valid0 = jnp.ones((N,), bool)
+    seen_eos0 = jnp.zeros((N,), bool)
+
+    slot_range = jnp.arange(S)[None, :]                  # [1, S]
+
+    def step(carry, xs):
+        stack, ptr, ans_scores, X, valid, seen_eos = carry
+        tok, pre_t, t = xs
+
+        arity = tables.arity[tok]                         # [N]
+        is_att = tables.is_att[tok]
+        is_ans = tables.is_ans[tok]
+
+        # validity automaton (same X@W-b>=0 machine as the decoder mask):
+        # gather this token's constraint matrix, then contract with X
+        W_tok = jnp.transpose(tables.W, (1, 0, 2))[tok]   # [N, 3, 4]
+        cons = jnp.einsum("ns,nsc->nc", X.astype(jnp.int32), W_tok) \
+            - tables.b[tok]                               # [N, 4]
+        tok_valid = jnp.all(cons >= 0, axis=1)
+        valid = jnp.logical_and(valid, tok_valid)
+        seen_eos = jnp.logical_or(seen_eos, tok == tables.eos_idx)
+        X = X + tables.P[tok]
+
+        # stack pops (reference pop order nmn3_assembler.py:194-199:
+        # for arity 2 the top of stack is input_1, below it input_0)
+        top_idx = jnp.clip(ptr - 1, 0, S - 1)
+        sub_idx = jnp.clip(ptr - 2, 0, S - 1)
+        top = jnp.take_along_axis(stack, top_idx[:, None, None], axis=1)[:, 0]
+        sub = jnp.take_along_axis(stack, sub_idx[:, None, None], axis=1)[:, 0]
+        in1 = top
+        in0 = jnp.where((arity == 2)[:, None], sub, top)
+
+        # dense evaluation of every module, one-hot select per example
+        att_outs = jnp.stack([f(pre_static, pre_t, in0, in1, t)
+                              for f in att_branches])     # [Ma, N, HW]
+        att_onehot = jax.nn.one_hot(tables.att_slot[tok], tables.num_att,
+                                    dtype=dtype)          # [N, Ma]
+        att_out = jnp.einsum("mnp,nm->np", att_outs, att_onehot)
+
+        ans_outs = jnp.stack([f(pre_static, pre_t, in0, in1, t)
+                              for f in ans_branches])     # [Mb, N, C]
+        ans_onehot = jax.nn.one_hot(tables.ans_slot[tok], tables.num_ans,
+                                    dtype=dtype)
+        ans_out = jnp.einsum("mnc,nm->nc", ans_outs, ans_onehot)
+
+        # push att output at position ptr - arity
+        push_pos = jnp.clip(ptr - arity, 0, S - 1)
+        push_mask = (slot_range == push_pos[:, None]) & is_att[:, None]
+        stack = jnp.where(push_mask[:, :, None],
+                          att_out[:, None, :], stack)
+
+        ans_scores = jnp.where(is_ans[:, None], ans_out, ans_scores)
+        ptr = jnp.clip(ptr - arity + is_att.astype(jnp.int32), 0, S)
+
+        return (stack, ptr, ans_scores, X, valid, seen_eos), None
+
+    carry0 = (stack0, ptr0, scores0, X0, valid0, seen_eos0)
+    xs = (tokens, pre_step, jnp.arange(T))
+    (stack, ptr, ans_scores, X, valid, seen_eos), _ = jax.lax.scan(
+        step, carry0, xs)
+
+    validity = jnp.logical_and(valid, seen_eos)
+    # invalid expressions get the dummy all-zero score vector
+    # (reference nmn3_model.py:146-155)
+    scores = jnp.where(validity[:, None], ans_scores, 0.0)
+    return scores, validity

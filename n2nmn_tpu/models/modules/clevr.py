@@ -1,0 +1,178 @@
+"""CLEVR module library: 14 modules over a [N, 10, 15, 512] VGG pool5 grid
+(reference models_clevr/nmn3_modules.py). map_dim=250, Transform kernel 5.
+
+Attention-output modules: _Scene, _Find, _Filter, _FindSameProperty,
+_Transform, _And, _Or. Answer-output: _Exist, _Count, _EqualNum, _MoreNum,
+_LessNum, _SameProperty, _Describe.
+
+All image 1x1-conv mappings and all per-timestep text fc mappings are
+precomputed in batched MXU passes; the executor-scan branches are pure
+elementwise/VPU work plus small readout contractions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from n2nmn_tpu.ops.nn import init_fc, init_conv, apply_1x1_conv, l2_normalize
+from n2nmn_tpu.models.modules import common
+
+ATT_MODULES = ["_Scene", "_Find", "_Filter", "_FindSameProperty",
+               "_Transform", "_And", "_Or"]
+ANS_MODULES = ["_Exist", "_Count", "_EqualNum", "_MoreNum", "_LessNum",
+               "_SameProperty", "_Describe"]
+
+MAP_DIM = 250
+TRANSFORM_KERNEL = 5
+SCENE_POS_VAL = 3.0  # reference SceneModule pos_val (nmn3_modules.py:60)
+
+
+def init_params(key, image_dim, text_dim, num_choices, hw,
+                map_dim=MAP_DIM, dtype=jnp.float32):
+    keys = jax.random.split(key, 24)
+    k = iter(keys)
+    return {
+        "find": {
+            "conv_image": init_fc(next(k), image_dim, map_dim, dtype=dtype),
+            "fc_text": init_fc(next(k), text_dim, map_dim, dtype=dtype),
+            "conv_eltwise": init_fc(next(k), map_dim, 1, dtype=dtype),
+        },
+        # _Filter = _Find + _And composition; shares find's weights
+        # (reference FilterModule, nmn3_modules.py:113-132)
+        "find_same_property": {
+            "conv_image": init_fc(next(k), image_dim, map_dim, dtype=dtype),
+            "fc_text": init_fc(next(k), text_dim, map_dim, dtype=dtype),
+            "fc_att": init_fc(next(k), image_dim, map_dim, dtype=dtype),
+            "conv_eltwise": init_fc(next(k), map_dim, 1, dtype=dtype),
+        },
+        "transform": {
+            "conv_maps": init_conv(next(k), TRANSFORM_KERNEL, 1, map_dim,
+                                   dtype=dtype),
+            "text_fc": init_fc(next(k), text_dim, map_dim, dtype=dtype),
+            "conv_eltwise": init_fc(next(k), map_dim, 1, dtype=dtype),
+        },
+        "exist": {"fc_scores": init_fc(next(k), 3, num_choices,
+                                       dtype=dtype)},
+        "count": {"fc_scores": init_fc(next(k), hw + 2, num_choices,
+                                       dtype=dtype)},
+        "equal_num": {"fc_scores": init_fc(next(k), 2 * (hw + 2),
+                                           num_choices, dtype=dtype)},
+        "more_num": {"fc_scores": init_fc(next(k), 2 * (hw + 2),
+                                          num_choices, dtype=dtype)},
+        "less_num": {"fc_scores": init_fc(next(k), 2 * (hw + 2),
+                                          num_choices, dtype=dtype)},
+        "same_property": {
+            "fc_text": init_fc(next(k), text_dim, map_dim, dtype=dtype),
+            "fc_att_0": init_fc(next(k), image_dim, map_dim, dtype=dtype),
+            "fc_att_1": init_fc(next(k), image_dim, map_dim, dtype=dtype),
+            "fc_eltwise": init_fc(next(k), map_dim, num_choices,
+                                  dtype=dtype),
+        },
+        "describe": {
+            "fc_text": init_fc(next(k), text_dim, map_dim, dtype=dtype),
+            "fc_att": init_fc(next(k), image_dim, map_dim, dtype=dtype),
+            "fc_eltwise": init_fc(next(k), map_dim, num_choices,
+                                  dtype=dtype),
+        },
+    }
+
+
+def precompute(params, image_feat, word_vecs):
+    """image_feat: [N, H, W, D_im]; word_vecs: [T_dec, N, D_txt]."""
+    n, h, w, d_im = image_feat.shape
+    t, _, d_txt = word_vecs.shape
+    wv = word_vecs.reshape(t * n, d_txt)
+
+    def txt(p):
+        return (wv @ p["w"] + p["b"]).reshape(t, n, -1)
+
+    pre_static = {
+        "image_feat": image_feat.reshape(n, h * w, d_im),
+        "img_find": apply_1x1_conv(params["find"]["conv_image"],
+                                   image_feat).reshape(n, h * w, -1),
+        "img_fsp": apply_1x1_conv(
+            params["find_same_property"]["conv_image"],
+            image_feat).reshape(n, h * w, -1),
+        "h": h, "w": w,
+    }
+    pre_step = {
+        "txt_find": txt(params["find"]["fc_text"]),
+        "txt_fsp": txt(params["find_same_property"]["fc_text"]),
+        "txt_tfm": txt(params["transform"]["text_fc"]),
+        "txt_sp": txt(params["same_property"]["fc_text"]),
+        "txt_desc": txt(params["describe"]["fc_text"]),
+    }
+    return pre_static, pre_step
+
+
+def make_branches(params):
+    def _fc(p, x):
+        return x @ p["w"] + p["b"]
+
+    def scene(pre, pre_t, in0, in1, t):
+        n, hw, _ = pre["img_find"].shape
+        return jnp.full((n, hw), SCENE_POS_VAL, pre["img_find"].dtype)
+
+    def find(pre, pre_t, in0, in1, t):
+        return common.find_core(pre["img_find"], pre_t["txt_find"],
+                                params["find"]["conv_eltwise"])
+
+    def filter_(pre, pre_t, in0, in1, t):
+        return jnp.minimum(in0, find(pre, pre_t, in0, in1, t))
+
+    def find_same_property(pre, pre_t, in0, in1, t):
+        p = params["find_same_property"]
+        att_feat = common.att_softmax_readout(in0, pre["image_feat"])
+        att_mapped = _fc(p["fc_att"], att_feat)            # [N, map]
+        elt = l2_normalize(
+            pre["img_fsp"] * pre_t["txt_fsp"][:, None, :]
+            * att_mapped[:, None, :], axis=2)
+        return common.project_to_att(elt, p["conv_eltwise"])
+
+    def transform(pre, pre_t, in0, in1, t):
+        p = params["transform"]
+        maps = common.conv_on_attention(in0, p["conv_maps"],
+                                        pre["h"], pre["w"])
+        elt = l2_normalize(maps * pre_t["txt_tfm"][:, None, :], axis=2)
+        return common.project_to_att(elt, p["conv_eltwise"])
+
+    def and_(pre, pre_t, in0, in1, t):
+        return jnp.minimum(in0, in1)
+
+    def or_(pre, pre_t, in0, in1, t):
+        return jnp.maximum(in0, in1)
+
+    def exist(pre, pre_t, in0, in1, t):
+        return _fc(params["exist"]["fc_scores"], common.min_avg_max(in0))
+
+    def count(pre, pre_t, in0, in1, t):
+        return _fc(params["count"]["fc_scores"], common.flat_min_max(in0))
+
+    def _pair_counts(name):
+        def fn(pre, pre_t, in0, in1, t):
+            feats = jnp.concatenate(
+                [common.flat_min_max(in0), common.flat_min_max(in1)], axis=1)
+            return _fc(params[name]["fc_scores"], feats)
+        return fn
+
+    def same_property(pre, pre_t, in0, in1, t):
+        p = params["same_property"]
+        f0 = _fc(p["fc_att_0"],
+                 common.att_softmax_readout(in0, pre["image_feat"]))
+        f1 = _fc(p["fc_att_1"],
+                 common.att_softmax_readout(in1, pre["image_feat"]))
+        elt = l2_normalize(f0 * pre_t["txt_sp"] * f1, axis=1)
+        return _fc(p["fc_eltwise"], elt)
+
+    def describe(pre, pre_t, in0, in1, t):
+        p = params["describe"]
+        att_mapped = _fc(p["fc_att"],
+                         common.att_softmax_readout(in0, pre["image_feat"]))
+        elt = l2_normalize(pre_t["txt_desc"] * att_mapped, axis=1)
+        return _fc(p["fc_eltwise"], elt)
+
+    att = [scene, find, filter_, find_same_property, transform, and_, or_]
+    ans = [exist, count, _pair_counts("equal_num"), _pair_counts("more_num"),
+           _pair_counts("less_num"), same_property, describe]
+    return att, ans

@@ -1,0 +1,71 @@
+"""Shared compute cores for the neural modules.
+
+Design rule for TPU: every layout-independent matmul (the 1x1-conv image
+mappings, the per-timestep text mappings) is *precomputed in one batched
+MXU pass outside the executor scan*; the per-step branch functions are
+cheap VPU elementwise ops plus tiny contractions. This is the key
+restructuring vs the reference, where each module recomputes its conv/fc
+inside the Fold-scheduled tree (models_clevr/nmn3_modules.py:74-111).
+
+Attention maps are carried flattened as [N, HW]; image feature grids as
+[N, HW, D].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from n2nmn_tpu.ops.nn import l2_normalize
+
+
+def project_to_att(x, proj):
+    """1x1 'conv_eltwise' projection [N, HW, D] -> [N, HW] with params
+    {'w': [D, 1], 'b': [1]}."""
+    y = jnp.einsum("npd,d->np", x, proj["w"][:, 0]) + proj["b"][0]
+    return y
+
+
+def find_core(img_mapped, txt_mapped, proj):
+    """Find: l2norm(img_mapped * txt) -> 1x1 conv to one channel
+    (reference FindModule, models_clevr/nmn3_modules.py:74-111).
+    img_mapped: [N, HW, D]; txt_mapped: [N, D]."""
+    elt = l2_normalize(img_mapped * txt_mapped[:, None, :], axis=2)
+    return project_to_att(elt, proj)
+
+
+def att_softmax_readout(att_flat, image_feat):
+    """softmax(att) over the grid, then attention-weighted feature readout
+    (reference FindSamePropertyModule, nmn3_modules.py:170-174).
+    att_flat: [N, HW]; image_feat: [N, HW, D] -> [N, D]."""
+    att_softmax = jax.nn.softmax(att_flat, axis=1)
+    return jnp.einsum("np,npd->nd", att_softmax, image_feat)
+
+
+def min_avg_max(att_flat):
+    """[N, HW] -> [N, 3] (min, avg, max) — reference ExistModule
+    (nmn3_modules.py:273-277)."""
+    return jnp.stack([jnp.min(att_flat, axis=1),
+                      jnp.mean(att_flat, axis=1),
+                      jnp.max(att_flat, axis=1)], axis=1)
+
+
+def flat_min_max(att_flat):
+    """[N, HW] -> [N, HW+2] (full map, min, max) — reference CountModule
+    (nmn3_modules.py:296-301)."""
+    return jnp.concatenate([att_flat,
+                            jnp.min(att_flat, axis=1, keepdims=True),
+                            jnp.max(att_flat, axis=1, keepdims=True)],
+                           axis=1)
+
+
+def conv_on_attention(att_flat, conv_params, h, w):
+    """k x k conv applied to an attention map (reference TransformModule,
+    nmn3_modules.py:185-216). att_flat: [N, HW] -> [N, HW, map_dim]."""
+    n = att_flat.shape[0]
+    att_grid = att_flat.reshape(n, h, w, 1)
+    y = jax.lax.conv_general_dilated(
+        att_grid, conv_params["w"], window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + conv_params["b"]
+    return y.reshape(n, h * w, -1)

@@ -1,0 +1,119 @@
+"""VQA module library: {_Find, _Transform, _And} -> attention,
+{_Describe} -> answer (reference models_vqa/nmn3_modules.py).
+
+map_dim=1024. The image grid gets x/y spatial coordinate maps in [-1, 1]
+concatenated (with stopped gradients) before every module sees it
+(reference add_spatial_coordinate_map, nmn3_modules.py:11-31). VQA's
+_Transform is the attention-readout variant (same math as CLEVR's
+_FindSameProperty, nmn3_modules.py:123-171).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from n2nmn_tpu.ops.nn import init_fc, apply_1x1_conv, l2_normalize
+from n2nmn_tpu.models.modules import common
+
+ATT_MODULES = ["_Find", "_Transform", "_And"]
+ANS_MODULES = ["_Describe"]
+
+MAP_DIM = 1024
+
+
+def add_spatial_coordinate_map(image_feat):
+    """Concat x/y linspace grids in [-1, 1] to the channel axis, gradients
+    stopped (reference nmn3_modules.py:11-31)."""
+    n, h, w, _ = image_feat.shape
+    x_map = jnp.tile(jnp.linspace(-1.0, 1.0, w).reshape(1, 1, w, 1),
+                     (n, h, 1, 1))
+    y_map = jnp.tile(jnp.linspace(-1.0, 1.0, h).reshape(1, h, 1, 1),
+                     (n, 1, w, 1))
+    coords = jax.lax.stop_gradient(
+        jnp.concatenate([x_map, y_map], axis=3).astype(image_feat.dtype))
+    return jnp.concatenate([image_feat, coords], axis=3)
+
+
+def init_params(key, image_dim, text_dim, num_choices, map_dim=MAP_DIM,
+                dtype=jnp.float32):
+    """image_dim here is the grid channel count BEFORE coords are added."""
+    d = image_dim + 2
+    keys = jax.random.split(key, 12)
+    k = iter(keys)
+    return {
+        "find": {
+            "conv_image": init_fc(next(k), d, map_dim, dtype=dtype),
+            "fc_text": init_fc(next(k), text_dim, map_dim, dtype=dtype),
+            "conv_eltwise": init_fc(next(k), map_dim, 1, dtype=dtype),
+        },
+        "transform": {
+            "conv_image": init_fc(next(k), d, map_dim, dtype=dtype),
+            "fc_text": init_fc(next(k), text_dim, map_dim, dtype=dtype),
+            "fc_att": init_fc(next(k), d, map_dim, dtype=dtype),
+            "conv_eltwise": init_fc(next(k), map_dim, 1, dtype=dtype),
+        },
+        "describe": {
+            "fc_text": init_fc(next(k), text_dim, map_dim, dtype=dtype),
+            "fc_att": init_fc(next(k), d, map_dim, dtype=dtype),
+            "fc_eltwise": init_fc(next(k), map_dim, num_choices,
+                                  dtype=dtype),
+        },
+    }
+
+
+def precompute(params, image_feat, word_vecs):
+    """image_feat: [N, H, W, D_im] (coords NOT yet added);
+    word_vecs: [T_dec, N, D_txt]."""
+    image_feat = add_spatial_coordinate_map(image_feat)
+    n, h, w, d = image_feat.shape
+    t, _, d_txt = word_vecs.shape
+    wv = word_vecs.reshape(t * n, d_txt)
+
+    def txt(p):
+        return (wv @ p["w"] + p["b"]).reshape(t, n, -1)
+
+    pre_static = {
+        "image_feat": image_feat.reshape(n, h * w, d),
+        "img_find": apply_1x1_conv(params["find"]["conv_image"],
+                                   image_feat).reshape(n, h * w, -1),
+        "img_tfm": apply_1x1_conv(params["transform"]["conv_image"],
+                                  image_feat).reshape(n, h * w, -1),
+        "h": h, "w": w,
+    }
+    pre_step = {
+        "txt_find": txt(params["find"]["fc_text"]),
+        "txt_tfm": txt(params["transform"]["fc_text"]),
+        "txt_desc": txt(params["describe"]["fc_text"]),
+    }
+    return pre_static, pre_step
+
+
+def make_branches(params):
+    def _fc(p, x):
+        return x @ p["w"] + p["b"]
+
+    def find(pre, pre_t, in0, in1, t):
+        return common.find_core(pre["img_find"], pre_t["txt_find"],
+                                params["find"]["conv_eltwise"])
+
+    def transform(pre, pre_t, in0, in1, t):
+        p = params["transform"]
+        att_mapped = _fc(p["fc_att"],
+                         common.att_softmax_readout(in0, pre["image_feat"]))
+        elt = l2_normalize(
+            pre["img_tfm"] * pre_t["txt_tfm"][:, None, :]
+            * att_mapped[:, None, :], axis=2)
+        return common.project_to_att(elt, p["conv_eltwise"])
+
+    def and_(pre, pre_t, in0, in1, t):
+        return jnp.minimum(in0, in1)
+
+    def describe(pre, pre_t, in0, in1, t):
+        p = params["describe"]
+        att_mapped = _fc(p["fc_att"],
+                         common.att_softmax_readout(in0, pre["image_feat"]))
+        elt = l2_normalize(pre_t["txt_desc"] * att_mapped, axis=1)
+        return _fc(p["fc_eltwise"], elt)
+
+    return [find, transform, and_], [describe]

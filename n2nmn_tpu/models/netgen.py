@@ -1,0 +1,238 @@
+"""Layout-policy seq2seq ("netgen"): LSTM encoder over the question +
+attentional LSTM decoder emitting module tokens.
+
+TPU-native re-design of the reference AttentionSeq2Seq
+(models_clevr/nmn3_netgen_att.py, byte-identical copy in models_vqa/, and
+the unmasked variant in models_shapes/nmn3_netgen_att.py): the
+tf.nn.raw_rnn custom loop becomes a jax.lax.scan whose carry threads the
+LSTM state, the grammar-automaton state X, the PRNG key, and (for the
+unmasked variant) the <eos>-latch. Both dataset variants are one function,
+switched by ``mask_mode``:
+
+  * ``"grammar"`` — in-graph validity masking via X@W-b>=0, sampling with a
+    -50 logit penalty on invalid tokens and argmax-over-valid fallback,
+    renormalized probabilities and entropy over valid tokens only
+    (reference nmn3_netgen_att.py:200-260).
+  * ``"eos_force"`` — unconstrained sampling; after the first <eos> the
+    decoder emits <eos> with probability 1 and zero entropy (reference
+    models_shapes/nmn3_netgen_att.py:210-222).
+
+Semantics preserved exactly; only the execution model changed (single
+compiled scan instead of a host-driven loop runtime).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from n2nmn_tpu.ops.nn import init_fc, apply_fc, init_embedding, xavier_uniform
+from n2nmn_tpu.ops.lstm import init_lstm_stack, lstm_stack_step, encode_sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class NetgenConfig:
+    num_vocab_txt: int
+    embed_dim_txt: int
+    num_vocab_nmn: int
+    embed_dim_nmn: int
+    lstm_dim: int
+    num_layers: int
+    T_decoder: int
+    encoder_dropout: bool = False
+    decoder_dropout: bool = False
+    decoder_sampling: bool = True
+    mask_mode: str = "grammar"  # "grammar" | "eos_force"
+
+
+def init_netgen(key, cfg: NetgenConfig, dtype=jnp.float32):
+    keys = jax.random.split(key, 8)
+    return {
+        "encoder": {
+            "embedding": init_embedding(
+                keys[0], cfg.num_vocab_txt, cfg.embed_dim_txt, dtype),
+            "lstm": init_lstm_stack(
+                keys[1], cfg.embed_dim_txt, cfg.lstm_dim, cfg.num_layers,
+                dtype),
+            "h_transform": init_fc(keys[2], cfg.lstm_dim, cfg.lstm_dim,
+                                   dtype=dtype),
+        },
+        "decoder": {
+            "embedding": init_embedding(
+                keys[3], cfg.num_vocab_nmn, cfg.embed_dim_nmn, dtype),
+            "go": xavier_uniform(keys[4], (1, cfg.embed_dim_nmn), dtype),
+            "lstm": init_lstm_stack(
+                keys[5], cfg.embed_dim_nmn, cfg.lstm_dim, cfg.num_layers,
+                dtype),
+            "att_w": init_fc(keys[6], cfg.lstm_dim, cfg.lstm_dim,
+                             dtype=dtype),
+            # attention vector v (not L2-regularized in the reference —
+            # stored under key 'v', not 'w')
+            "att_v": xavier_uniform(keys[7], (1, cfg.lstm_dim), dtype)[0],
+            "token_pred": init_fc(
+                jax.random.fold_in(key, 99), 2 * cfg.lstm_dim,
+                cfg.num_vocab_nmn, dtype=dtype),
+        },
+    }
+
+
+@dataclasses.dataclass
+class NetgenOutput:
+    tokens: jnp.ndarray        # [T_dec, N] int32
+    token_probs: jnp.ndarray   # [T_dec, N]
+    log_seq_prob: jnp.ndarray  # [N]
+    neg_entropy: jnp.ndarray   # [N]
+    word_vecs: jnp.ndarray     # [T_dec, N, embed_dim_txt]
+    atts: jnp.ndarray          # [T_dec, T_enc, N]
+    encoder_h_final: jnp.ndarray  # [L, N, D] final hidden per layer (for qpn)
+
+
+def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
+               text_seq, seq_length, rng,
+               gt_layout: Optional[jnp.ndarray] = None,
+               use_gt_layout: bool = False,
+               deterministic: bool = True) -> NetgenOutput:
+    """Encode the question and decode a module-token layout.
+
+    text_seq: [T_enc, N] int32 (time-major, like the reference);
+    seq_length: [N]; gt_layout: [T_dec, N] when use_gt_layout.
+    grammar_arrays: dict with 'P' [V,3], 'W' [3,V,4], 'b' [V,4], 'eos_idx'.
+    """
+    enc_p, dec_p = params["encoder"], params["decoder"]
+    T_enc, N = text_seq.shape
+    D = cfg.lstm_dim
+    V = cfg.num_vocab_nmn
+    rng, enc_drop_key, dec_drop_key = jax.random.split(rng, 3)
+
+    # ---------------- encoder ----------------
+    embedded_seq = enc_p["embedding"]["table"][text_seq]      # [T,N,E]
+    enc_out, (enc_c, enc_h) = encode_sequence(
+        enc_p["lstm"], embedded_seq, seq_length,
+        dropout_key=enc_drop_key,
+        deterministic=deterministic or not cfg.encoder_dropout)
+    # fc transform of outputs for attention alignment
+    enc_trans = apply_fc(enc_p["h_transform"],
+                         enc_out.reshape(T_enc * N, D)).reshape(T_enc, N, D)
+    seq_not_finished = (jnp.arange(T_enc)[:, None]
+                        < seq_length[None, :]).astype(enc_out.dtype)  # [T,N]
+
+    # ---------------- decoder ----------------
+    P = grammar_arrays["P"]          # [V, 3] int32
+    W = grammar_arrays["W"]          # [3, V, 4] int32
+    b = grammar_arrays["b"]          # [V, 4] int32
+    eos_idx = grammar_arrays["eos_idx"]
+
+    w_a, b_a = dec_p["att_w"]["w"], dec_p["att_w"]["b"]
+    v = dec_p["att_v"]
+    w_y, b_y = dec_p["token_pred"]["w"], dec_p["token_pred"]["b"]
+    dec_embed = dec_p["embedding"]["table"]
+
+    go = jnp.tile(dec_p["go"], (N, 1))
+    c0 = jnp.tile(enc_c[:, :, :], (1, 1, 1))
+    h0 = jnp.tile(enc_h[:, :, :], (1, 1, 1))
+    X0 = jnp.tile(jnp.array([[0, 0, cfg.T_decoder]], jnp.int32), (N, 1))
+    eos0 = jnp.zeros((N,), bool)
+
+    if gt_layout is None:
+        gt_layout = jnp.zeros((cfg.T_decoder, N), jnp.int32)
+
+    grammar_mode = cfg.mask_mode == "grammar"
+    dec_deterministic = deterministic or not cfg.decoder_dropout
+
+    def step(carry, xs):
+        (c, h), X, prev_eos, inp, key = carry
+        gt_t = xs
+        key, sample_key, drop_key = jax.random.split(key, 3)
+
+        h_out, (c, h) = lstm_stack_step(
+            dec_p["lstm"], inp, (c, h),
+            dropout_key=drop_key, deterministic=dec_deterministic)
+
+        # Bahdanau attention over encoder outputs
+        q = jnp.dot(h_out, w_a, preferred_element_type=h_out.dtype) + b_a
+        att_raw = jnp.einsum("tnd,d->tn", jnp.tanh(q[None] + enc_trans), v)
+        att = jax.nn.softmax(att_raw, axis=0) * seq_not_finished
+        att = att / jnp.sum(att, axis=0, keepdims=True)
+        d2 = jnp.einsum("tn,tnd->nd", att, enc_out)
+
+        token_scores = (jnp.dot(jnp.concatenate([h_out, d2], axis=1), w_y,
+                                preferred_element_type=h_out.dtype) + b_y)
+
+        if grammar_mode:
+            # token validity from the automaton state: all(X@W - b >= 0)
+            cons = jnp.einsum("ns,svc->nvc", X, W) - b[None]   # [N,V,4]
+            token_validity = jnp.all(cons >= 0, axis=2)         # [N,V] bool
+            if use_gt_layout:
+                # gt layouts bypass masking & renormalization
+                # (reference nmn3_netgen_att.py:204-207)
+                token_validity = jnp.ones_like(token_validity)
+            validity_mult = token_validity.astype(token_scores.dtype)
+
+            if cfg.decoder_sampling:
+                scores_pen = token_scores - (1.0 - validity_mult) * 50.0
+                sampled = jax.random.categorical(sample_key, scores_pen)
+                sampled = sampled.astype(jnp.int32)
+                is_valid = jnp.take_along_axis(
+                    token_validity, sampled[:, None], axis=1)[:, 0]
+                min_score = jnp.min(token_scores)
+                masked = jnp.where(token_validity, token_scores,
+                                   min_score - 1.0)
+                argmax_tok = jnp.argmax(masked, axis=1).astype(jnp.int32)
+                predicted = jnp.where(is_valid, sampled, argmax_tok)
+            else:
+                min_score = jnp.min(token_scores)
+                masked = jnp.where(token_validity, token_scores,
+                                   min_score - 1.0)
+                predicted = jnp.argmax(masked, axis=1).astype(jnp.int32)
+            if use_gt_layout:
+                predicted = gt_t
+
+            probs = jax.nn.softmax(token_scores) * validity_mult
+            probs = probs / jnp.sum(probs, axis=1, keepdims=True)
+            token_prob = jnp.take_along_axis(
+                probs, predicted[:, None], axis=1)[:, 0]
+            neg_ent = jnp.sum(
+                probs * jnp.log(jnp.maximum(
+                    1e-5, probs + (1.0 - validity_mult))), axis=1)
+            final_token = predicted
+            new_eos = prev_eos
+        else:
+            # SHAPES-style unmasked decoding with post-<eos> forcing
+            if cfg.decoder_sampling:
+                predicted = jax.random.categorical(
+                    sample_key, token_scores).astype(jnp.int32)
+            else:
+                predicted = jnp.argmax(token_scores, axis=1).astype(jnp.int32)
+            if use_gt_layout:
+                predicted = gt_t
+            probs = jax.nn.softmax(token_scores)
+            token_prob = jnp.take_along_axis(
+                probs, predicted[:, None], axis=1)[:, 0]
+            neg_ent = jnp.sum(
+                probs * jnp.log(jnp.maximum(1e-5, probs)), axis=1)
+            final_token = jnp.where(prev_eos, eos_idx, predicted)
+            token_prob = jnp.where(prev_eos, 1.0, token_prob)
+            neg_ent = jnp.where(prev_eos, 0.0, neg_ent)
+            new_eos = jnp.logical_or(prev_eos, predicted == eos_idx)
+
+        X = jax.lax.stop_gradient(X + P[final_token])
+        next_inp = dec_embed[final_token]
+        out = (final_token, token_prob, neg_ent, att)
+        return (((c, h), X, new_eos, next_inp, key), out)
+
+    carry0 = ((c0, h0), X0, eos0, go, rng)
+    _, (tokens, token_probs, neg_ents, atts) = jax.lax.scan(
+        step, carry0, gt_layout)
+
+    # word_vecs[t] = sum_te att[t, te] * embedded_question[te]
+    word_vecs = jnp.einsum("ktn,tne->kne", atts, embedded_seq)
+    log_seq_prob = jnp.sum(jnp.log(token_probs), axis=0)
+    neg_entropy = jnp.sum(neg_ents, axis=0)
+
+    return NetgenOutput(
+        tokens=tokens, token_probs=token_probs,
+        log_seq_prob=log_seq_prob, neg_entropy=neg_entropy,
+        word_vecs=word_vecs, atts=atts, encoder_h_final=enc_h)

@@ -1,0 +1,148 @@
+"""The full Neural Module Network model: layout policy -> in-graph
+assembly/validity -> stack-machine module execution -> answer logits.
+
+One parameterized model replaces the reference's three near-duplicate
+NMN3Model classes (models_shapes/nmn3_model.py, models_clevr/nmn3_model.py,
+models_vqa/nmn3_model.py); the dataset flavor picks the module library,
+backbone, and optional question-prior head.
+
+Everything — encoder, decoder, validity automaton, module execution, qpn —
+runs inside ONE jitted function. The reference needed two partial_run
+phases with a host-side assembler in between
+(exp_clevr/train_clevr_gt_layout.py:169-196); here gradient flow from the
+answer loss into the decoder's word_vecs and the layout log-probs is
+carried by the fused program directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from n2nmn_tpu.layout.grammar import ModuleGrammar
+from n2nmn_tpu.layout.executor import build_tables, execute_layout
+from n2nmn_tpu.models.netgen import NetgenConfig, init_netgen, run_netgen
+from n2nmn_tpu.models.modules import shapes as shapes_lib
+from n2nmn_tpu.models.modules import clevr as clevr_lib
+from n2nmn_tpu.models.modules import vqa as vqa_lib
+from n2nmn_tpu.models import backbones
+from n2nmn_tpu.models.question_prior import init_qpn, apply_qpn
+from n2nmn_tpu.ops.nn import init_fc, apply_1x1_conv
+
+MODULE_LIBS = {"shapes": shapes_lib, "clevr": clevr_lib, "vqa": vqa_lib}
+
+
+@dataclasses.dataclass(frozen=True)
+class NMNConfig:
+    flavor: str                    # "shapes" | "clevr" | "vqa"
+    netgen: NetgenConfig
+    num_choices: int
+    H_feat: int
+    W_feat: int
+    D_feat: int                    # channels of the module-visible grid
+    in_graph_cnn: bool = False     # SHAPES: images -> convnet in-graph
+    use_qpn: bool = False
+    qpn_dropout: bool = False
+    reduce_visfeat_dim: bool = False
+    D_feat_raw: int = 0            # raw channels before reduce_visfeat_dim
+
+
+@dataclasses.dataclass
+class NMNOutput:
+    scores: jnp.ndarray        # [N, num_choices]
+    tokens: jnp.ndarray        # [T_dec, N]
+    token_probs: jnp.ndarray   # [T_dec, N]
+    log_seq_prob: jnp.ndarray  # [N]
+    neg_entropy: jnp.ndarray   # [N]
+    validity: jnp.ndarray      # [N] bool
+    atts: jnp.ndarray          # [T_dec, T_enc, N]
+
+
+class NMNModel:
+    """Holds static structure (grammar tables, branch builders); all state
+    lives in the params pytree, `apply` is pure/jittable."""
+
+    def __init__(self, cfg: NMNConfig, grammar: ModuleGrammar):
+        self.cfg = cfg
+        self.grammar = grammar
+        self.lib = MODULE_LIBS[cfg.flavor]
+        self.tables = build_tables(grammar, self.lib.ATT_MODULES,
+                                   self.lib.ANS_MODULES)
+        self.grammar_arrays = {
+            "P": jnp.asarray(grammar.P),
+            "W": jnp.asarray(grammar.W),
+            "b": jnp.asarray(grammar.b),
+            "eos_idx": grammar.eos_idx,
+        }
+
+    def init(self, key, dtype=jnp.float32):
+        cfg = self.cfg
+        k_net, k_mod, k_cnn, k_qpn, k_red = jax.random.split(key, 5)
+        params = {"netgen": init_netgen(k_net, cfg.netgen, dtype)}
+        lib_kwargs = {}
+        if cfg.flavor == "clevr":
+            lib_kwargs["hw"] = cfg.H_feat * cfg.W_feat
+        params["modules"] = self.lib.init_params(
+            k_mod, cfg.D_feat, cfg.netgen.embed_dim_txt, cfg.num_choices,
+            dtype=dtype, **lib_kwargs)
+        if cfg.in_graph_cnn:
+            params["convnet"] = backbones.init_shapes_convnet(k_cnn, dtype)
+        if cfg.use_qpn:
+            params["qpn"] = init_qpn(k_qpn, cfg.netgen.lstm_dim,
+                                     cfg.netgen.num_layers,
+                                     cfg.num_choices, dtype=dtype)
+        if cfg.reduce_visfeat_dim:
+            # linear 1x1 conv reducing the input feature dim to D_feat
+            # (reference models_vqa/nmn3_model.py:26-34)
+            params["reduce_visfeat"] = init_fc(
+                k_red, cfg.D_feat_raw, cfg.D_feat, dtype=dtype)
+        return params
+
+    def apply(self, params, text_seq, seq_length, image_input, rng,
+              gt_layout: Optional[jnp.ndarray] = None,
+              use_gt_layout: bool = False,
+              deterministic: bool = True) -> NMNOutput:
+        """image_input: raw images [N,30,30,3] for SHAPES (in_graph_cnn) or
+        a precomputed feature grid [N, H, W, D] otherwise."""
+        cfg = self.cfg
+        rng, net_rng, qpn_rng = jax.random.split(rng, 3)
+
+        net_out = run_netgen(
+            params["netgen"], cfg.netgen, self.grammar_arrays,
+            text_seq, seq_length, net_rng,
+            gt_layout=gt_layout, use_gt_layout=use_gt_layout,
+            deterministic=deterministic)
+
+        if cfg.in_graph_cnn:
+            image_feat = backbones.shapes_convnet(params["convnet"],
+                                                  image_input)
+        else:
+            image_feat = image_input
+        if cfg.reduce_visfeat_dim:
+            image_feat = apply_1x1_conv(params["reduce_visfeat"], image_feat)
+
+        pre_static, pre_step = self.lib.precompute(
+            params["modules"], image_feat, net_out.word_vecs)
+        att_branches, ans_branches = self.lib.make_branches(params["modules"])
+
+        scores, validity = execute_layout(
+            net_out.tokens, self.tables, att_branches, ans_branches,
+            pre_static, pre_step,
+            hw=cfg.H_feat * cfg.W_feat, num_choices=cfg.num_choices,
+            stack_size=cfg.netgen.T_decoder)
+
+        if cfg.use_qpn:
+            scores_qpn = apply_qpn(params["qpn"], net_out.encoder_h_final,
+                                   rng=qpn_rng, use_dropout=cfg.qpn_dropout,
+                                   deterministic=deterministic)
+            scores = scores + scores_qpn
+
+        return NMNOutput(
+            scores=scores, tokens=net_out.tokens,
+            token_probs=net_out.token_probs,
+            log_seq_prob=net_out.log_seq_prob,
+            neg_entropy=net_out.neg_entropy,
+            validity=validity, atts=net_out.atts)
