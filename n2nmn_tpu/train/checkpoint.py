@@ -1,0 +1,87 @@
+"""Checkpointing: flat-keyed npz snapshots with partial restore.
+
+Replaces tf.train.Saver snapshots (reference
+exp_clevr/train_clevr_gt_layout.py:159,220-223). Supports the reference's
+two partial-restore patterns: restoring all-but-the-baseline when warm
+starting policy search (train_clevr_rl_gt_layout.py:177-179) and
+overwriting the encoder embedding with GloVe after init
+(exp_vqa/train_vqa_gt_layout.py:160-164).
+
+A pytree is flattened to {'a/b/c': array}; lists index numerically.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _set_path(tree, path, value):
+    keys = path.split("/")
+    node = tree
+    for k in keys[:-1]:
+        k = int(k) if isinstance(node, (list, tuple)) else k
+        node = node[k]
+    k = keys[-1]
+    k = int(k) if isinstance(node, (list, tuple)) else k
+    node[k] = value
+
+
+def save_params(path, params, extra=None):
+    """Write params (+ optional dict of scalars/arrays) to <path>.npz."""
+    flat = _flatten(params)
+    if extra:
+        for k, v in extra.items():
+            flat[f"__extra__/{k}"] = np.asarray(v)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez(path if path.endswith(".npz") else path + ".npz", **flat)
+
+
+def load_params(path, template, exclude=(), dtype=None):
+    """Restore into a copy of ``template``; paths matching any prefix in
+    ``exclude`` keep the template's value (partial restore). Returns
+    (params, extra_dict)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    data = np.load(path)
+    params = jax.tree_util.tree_map(lambda x: x, template)  # shallow copy
+    extra = {}
+    tmpl_flat = _flatten(template)
+    for key in data.files:
+        if key.startswith("__extra__/"):
+            extra[key[len("__extra__/"):]] = data[key]
+            continue
+        if any(key.startswith(e) for e in exclude):
+            continue
+        if key not in tmpl_flat:
+            raise KeyError(f"checkpoint key {key!r} not in param template")
+        value = data[key]
+        if dtype is not None:
+            value = value.astype(dtype)
+        if tuple(tmpl_flat[key].shape) != tuple(value.shape):
+            raise ValueError(
+                f"shape mismatch for {key!r}: template "
+                f"{tmpl_flat[key].shape} vs checkpoint {value.shape}")
+        _set_path(params, key, jnp.asarray(value))
+    return params, extra
+
+
+def snapshot_path(snapshot_dir, n_iter):
+    """Reference-style zero-padded snapshot name '%08d'."""
+    return os.path.join(snapshot_dir, "%08d" % n_iter)

@@ -1,0 +1,177 @@
+"""Jitted train/eval steps: behavioral cloning and REINFORCE policy search.
+
+Loss semantics replicated from the reference drivers:
+- cloning: mean softmax-xent on answers + mean(-log p(layout)) likelihood
+  + weight_decay * l2 (exp_clevr/train_clevr_gt_layout.py:103-114).
+- policy search (REINFORCE): per-sample loss is answer-xent for valid
+  layouts and a constant ``invalid_expr_loss`` otherwise; surrogate is
+  E[stop_grad(loss - baseline) * log p(layout)] with a scalar EMA baseline
+  updated by (1-decay)*(batch_loss - baseline) after the gradient step
+  (exp_shapes/train_shapes_scratch.py:142-163,
+   exp_clevr/train_clevr_rl_gt_layout.py:107-129).
+
+Every step is ONE device program: layout decode, assembly/validity, module
+execution, loss, backward and the optimizer update all fuse under jit —
+the reference needed two partial_run phases and a host assembler round-trip
+per iteration (SURVEY.md §3.1).
+
+Batches may be padded to a fixed size; ``weight`` (1 for real examples,
+0 for padding) makes every mean a weighted mean so XLA sees static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from n2nmn_tpu.ops.nn import l2_of_weights
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    baseline: jnp.ndarray       # scalar EMA baseline (REINFORCE)
+    step: jnp.ndarray           # scalar int32
+    rng: jnp.ndarray            # PRNG key threaded across steps
+
+
+def create_train_state(params, tx, rng, baseline_init=0.0):
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        baseline=jnp.asarray(baseline_init, jnp.float32),
+        step=jnp.asarray(0, jnp.int32),
+        rng=rng,
+    )
+
+
+def _wmean(x, w):
+    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _xent(scores, labels):
+    logp = jax.nn.log_softmax(scores)
+    return -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+
+
+def make_cloning_step(model, tx, weight_decay: float,
+                      dropout_training: bool = True):
+    """Behavioral-cloning step. batch keys: text_seq [T,N], seq_length [N],
+    image [N,...], gt_layout [Td,N], label [N], weight [N]."""
+
+    def loss_fn(params, batch, rng):
+        out = model.apply(
+            params, batch["text_seq"], batch["seq_length"], batch["image"],
+            rng, gt_layout=batch["gt_layout"], use_gt_layout=True,
+            deterministic=not dropout_training)
+        w = batch["weight"]
+        xent = _xent(out.scores, batch["label"])
+        avg_sample_loss = _wmean(xent, w)
+        seq_likelihood_loss = _wmean(-out.log_seq_prob, w)
+        total = (seq_likelihood_loss + avg_sample_loss
+                 + weight_decay * l2_of_weights(params))
+        pred = jnp.argmax(out.scores, axis=1)
+        acc = _wmean(
+            (jnp.logical_and(out.validity, pred == batch["label"]))
+            .astype(jnp.float32), w)
+        aux = {
+            "loss": avg_sample_loss,
+            "seq_likelihood_loss": seq_likelihood_loss,
+            "accuracy": acc,
+            "entropy": -_wmean(out.neg_entropy, w),
+            "validity": _wmean(out.validity.astype(jnp.float32), w),
+        }
+        return total, aux
+
+    @jax.jit
+    def train_step(state: TrainState, batch):
+        rng, step_rng = jax.random.split(state.rng)
+        grads, aux = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, step_rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               baseline=state.baseline,
+                               step=state.step + 1, rng=rng)
+        return new_state, aux
+
+    return train_step
+
+
+def make_rl_step(model, tx, weight_decay: float, lambda_entropy: float,
+                 invalid_expr_loss: float, baseline_decay: float = 0.99,
+                 dropout_training: bool = True,
+                 use_gt_layout: bool = False):
+    """REINFORCE policy-search step (scratch or rl-finetune)."""
+
+    def loss_fn(params, batch, rng, baseline):
+        out = model.apply(
+            params, batch["text_seq"], batch["seq_length"], batch["image"],
+            rng,
+            gt_layout=batch.get("gt_layout"), use_gt_layout=use_gt_layout,
+            deterministic=not dropout_training)
+        w = batch["weight"]
+        xent = _xent(out.scores, batch["label"])
+        final_loss = jnp.where(out.validity, xent, invalid_expr_loss)
+        avg_sample_loss = _wmean(final_loss, w)
+        policy_gradient_loss = _wmean(
+            jax.lax.stop_gradient(final_loss - baseline)
+            * out.log_seq_prob, w)
+        entropy_reg = _wmean(out.neg_entropy, w)
+        total = (policy_gradient_loss + avg_sample_loss
+                 + lambda_entropy * entropy_reg
+                 + weight_decay * l2_of_weights(params))
+        pred = jnp.argmax(out.scores, axis=1)
+        acc = _wmean(
+            jnp.logical_and(out.validity, pred == batch["label"])
+            .astype(jnp.float32), w)
+        aux = {
+            "loss": avg_sample_loss,
+            "accuracy": acc,
+            "entropy": -entropy_reg,
+            "validity": _wmean(out.validity.astype(jnp.float32), w),
+        }
+        return total, aux
+
+    @jax.jit
+    def train_step(state: TrainState, batch):
+        rng, step_rng = jax.random.split(state.rng)
+        grads, aux = jax.grad(loss_fn, has_aux=True)(
+            state.params, batch, step_rng, state.baseline)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        # EMA baseline update runs after the gradient uses the old value
+        # (reference train_clevr_rl_gt_layout.py:119-124,144-145)
+        baseline = state.baseline + (1.0 - baseline_decay) * (
+            aux["loss"] - state.baseline)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               baseline=baseline,
+                               step=state.step + 1, rng=rng)
+        return new_state, aux
+
+    return train_step
+
+
+def make_eval_step(model):
+    """Greedy-decode eval step returning scores/tokens/validity."""
+
+    @jax.jit
+    def eval_step(params, batch, rng):
+        out = model.apply(
+            params, batch["text_seq"], batch["seq_length"], batch["image"],
+            rng, use_gt_layout=False, deterministic=True)
+        return {
+            "scores": out.scores,
+            "predictions": jnp.argmax(out.scores, axis=1),
+            "tokens": out.tokens,
+            "validity": out.validity,
+        }
+
+    return eval_step
