@@ -1,0 +1,254 @@
+"""CLEVR experiment runner: gt-layout cloning, RL fine-tune, RL from
+scratch, and evaluation — replacing the reference's four driver scripts
+(exp_clevr/train_clevr_gt_layout.py, train_clevr_rl_gt_layout.py,
+train_clevr_scratch.py, eval_clevr.py) with one parameterized trainer.
+Hyperparameter provenance in field comments."""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from n2nmn_tpu.layout.grammar import ModuleGrammar
+from n2nmn_tpu.models.netgen import NetgenConfig
+from n2nmn_tpu.models.nmn import NMNConfig, NMNModel
+from n2nmn_tpu.data.imdb import DataReader
+from n2nmn_tpu.train.optim import make_optimizer
+from n2nmn_tpu.train.steps import (
+    create_train_state, make_cloning_step, make_rl_step, make_eval_step)
+from n2nmn_tpu.train.checkpoint import (
+    save_params, load_params, snapshot_path)
+from n2nmn_tpu.train.metrics import MetricsLogger
+
+
+@dataclasses.dataclass
+class ClevrConfig:
+    exp_name: str = "clevr_gt_layout"
+    mode: str = "cloning"        # "cloning" | "rl" | "scratch"
+    root: str = "./exp_clevr"
+    # Module parameters (reference train_clevr_gt_layout.py:23-37)
+    H_feat: int = 10
+    W_feat: int = 15
+    D_feat: int = 512
+    embed_dim_txt: int = 300
+    embed_dim_nmn: int = 300
+    lstm_dim: int = 512
+    num_layers: int = 2
+    encoder_dropout: bool = False
+    decoder_dropout: bool = False
+    decoder_sampling: bool = True
+    T_encoder: int = 45
+    T_decoder: int = 10          # scratch: 6; eval: 20
+    N: int = 64
+    prune_filter_module: bool = True
+    # Training parameters (reference :39-44; rl :42-51; scratch :35-45)
+    weight_decay: float = 5e-6
+    learning_rate: float = 1e-3  # rl fine-tune: 1e-4
+    baseline_decay: float = 0.99
+    max_grad_l2_norm: float = 10.0
+    max_iter: int = 80000
+    snapshot_interval: int = 10000
+    log_interval: int = 20
+    invalid_expr_loss: float = 0.5
+    lambda_entropy: float = 0.005
+    seed: int = 0
+    # data files
+    imdb_trn: str = "data/imdb/imdb_trn.npy"
+    imdb_tst: str = "data/imdb/imdb_val.npy"
+    packed_features: Optional[str] = None
+
+
+def rl_config(**overrides) -> ClevrConfig:
+    cfg = ClevrConfig(exp_name="clevr_rl_gt_layout", mode="rl",
+                      learning_rate=1e-4, invalid_expr_loss=0.5,
+                      lambda_entropy=0.005)
+    return dataclasses.replace(cfg, **overrides)
+
+
+def scratch_config(**overrides) -> ClevrConfig:
+    cfg = ClevrConfig(exp_name="clevr_scratch", mode="scratch",
+                      T_decoder=6, weight_decay=0.0,
+                      invalid_expr_loss=math.log(28),
+                      lambda_entropy=0.01, max_iter=120000)
+    return dataclasses.replace(cfg, **overrides)
+
+
+def build_model(cfg: ClevrConfig, sampling: bool, T_decoder: int = None):
+    grammar = ModuleGrammar.from_vocab_file(
+        os.path.join(cfg.root, "data", "vocabulary_layout.txt"))
+    with open(os.path.join(cfg.root, "data", "vocabulary_clevr.txt")) as f:
+        num_vocab_txt = len([l for l in f if l.strip()])
+    with open(os.path.join(cfg.root, "data", "answers_clevr.txt")) as f:
+        num_choices = len([l for l in f if l.strip()])
+    net_cfg = NetgenConfig(
+        num_vocab_txt=num_vocab_txt, embed_dim_txt=cfg.embed_dim_txt,
+        num_vocab_nmn=grammar.num_vocab, embed_dim_nmn=cfg.embed_dim_nmn,
+        lstm_dim=cfg.lstm_dim, num_layers=cfg.num_layers,
+        T_decoder=T_decoder or cfg.T_decoder,
+        encoder_dropout=cfg.encoder_dropout,
+        decoder_dropout=cfg.decoder_dropout,
+        decoder_sampling=sampling,
+        mask_mode="grammar")
+    model_cfg = NMNConfig(
+        flavor="clevr", netgen=net_cfg, num_choices=num_choices,
+        H_feat=cfg.H_feat, W_feat=cfg.W_feat, D_feat=cfg.D_feat)
+    return NMNModel(model_cfg, grammar), grammar
+
+
+def make_reader(cfg: ClevrConfig, imdb_file, grammar, shuffle=True,
+                one_pass=False, load_gt_layout=None, T_decoder=None):
+    return DataReader(
+        os.path.join(cfg.root, imdb_file)
+        if not os.path.isabs(imdb_file) else imdb_file,
+        shuffle=shuffle, one_pass=one_pass, batch_size=cfg.N,
+        vocab_question_file=os.path.join(cfg.root, "data",
+                                         "vocabulary_clevr.txt"),
+        vocab_answer_file=os.path.join(cfg.root, "data",
+                                       "answers_clevr.txt"),
+        T_encoder=cfg.T_encoder, T_decoder=T_decoder or cfg.T_decoder,
+        grammar=grammar,
+        prune_filter_module=cfg.prune_filter_module,
+        load_gt_layout=load_gt_layout,
+        packed_feature_file=cfg.packed_features)
+
+
+def train(cfg: ClevrConfig, pretrained_model: Optional[str] = None):
+    use_gt = cfg.mode == "cloning"
+    model, grammar = build_model(cfg, sampling=cfg.decoder_sampling)
+    reader = make_reader(cfg, cfg.imdb_trn, grammar,
+                         load_gt_layout=use_gt or None)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    params = model.init(key)
+    if pretrained_model:
+        # warm start: restore everything except the RL baseline
+        # (reference train_clevr_rl_gt_layout.py:177-179)
+        params, _ = load_params(pretrained_model, params)
+        print(f"restored pretrained model from {pretrained_model}")
+    tx = make_optimizer(cfg.learning_rate, cfg.max_grad_l2_norm)
+    state = create_train_state(
+        params, tx, jax.random.fold_in(key, 1),
+        baseline_init=cfg.invalid_expr_loss if cfg.mode != "cloning"
+        else 0.0)
+
+    if cfg.mode == "cloning":
+        train_step = make_cloning_step(model, tx, cfg.weight_decay,
+                                       dropout_training=True)
+    else:
+        train_step = make_rl_step(
+            model, tx, cfg.weight_decay, cfg.lambda_entropy,
+            cfg.invalid_expr_loss, cfg.baseline_decay,
+            dropout_training=True)
+
+    snapshot_dir = os.path.join(cfg.root, "tfmodel", cfg.exp_name)
+    logger = MetricsLogger(os.path.join(cfg.root, "tb"), cfg.exp_name)
+
+    for n_iter, batch in enumerate(reader.batches()):
+        if n_iter >= cfg.max_iter:
+            break
+        batch.pop("image_path", None)
+        batch.pop("n_real", None)
+        if use_gt:
+            assert "gt_layout" in batch, "cloning needs gt layouts"
+        else:
+            batch.pop("gt_layout", None)
+        state, aux = train_step(state, batch)
+
+        if ((n_iter + 1) % cfg.log_interval == 0
+                or (n_iter + 1) == cfg.max_iter):
+            acc = float(aux["accuracy"])
+            avg_acc = logger.update_accuracy(acc)
+            print("iter = %d\n\tloss = %f, accuracy (cur) = %f, "
+                  "accuracy (avg) = %f, entropy = %f, validity = %f" %
+                  (n_iter + 1, float(aux["loss"]), acc, avg_acc,
+                   float(aux["entropy"]), float(aux["validity"])),
+                  flush=True)
+            logger.log(n_iter + 1,
+                       {**{k: float(v) for k, v in aux.items()},
+                        "avg_accuracy": avg_acc,
+                        "baseline": float(state.baseline)})
+
+        if ((n_iter + 1) % cfg.snapshot_interval == 0
+                or (n_iter + 1) == cfg.max_iter):
+            path = snapshot_path(snapshot_dir, n_iter + 1)
+            save_params(path, state.params,
+                        extra={"baseline": state.baseline})
+            print("snapshot saved to " + path, flush=True)
+
+    logger.close()
+    return state
+
+
+def evaluate(cfg: ClevrConfig, exp_name, snapshot_name, test_split,
+             T_decoder=20, save_eval_outputs=True):
+    """Greedy eval at T_decoder=20 (reference eval_clevr.py:26-36);
+    reports answer/layout accuracy + validity, writes the one-answer-per-
+    line prediction file for the CLEVR grader."""
+    model, grammar = build_model(cfg, sampling=False, T_decoder=T_decoder)
+    imdb_file = f"data/imdb/imdb_{test_split}.npy"
+    reader = make_reader(cfg, imdb_file, grammar, shuffle=False,
+                         one_pass=True, T_decoder=T_decoder)
+    loader = reader.batch_loader
+
+    params_t = model.init(jax.random.PRNGKey(0))
+    snapshot_file = os.path.join(cfg.root, "tfmodel", exp_name,
+                                 snapshot_name)
+    params, _ = load_params(snapshot_file, params_t)
+    eval_step = make_eval_step(model)
+    rng = jax.random.PRNGKey(0)
+
+    answer_correct = layout_correct = layout_valid = num_questions = 0
+    answer_word_list = loader.answer_dict.word_list
+    output_answers = []
+
+    for batch in reader.batches():
+        n = batch.pop("n_real")
+        batch.pop("image_path", None)
+        gt_layout = batch.pop("gt_layout", None)
+        labels = batch.get("label")
+        out = eval_step(params, batch, rng)
+        tokens = np.asarray(out["tokens"])[:, :n]
+        validity = np.asarray(out["validity"])[:n]
+        preds = np.asarray(out["predictions"])[:n]
+        num_questions += n
+        layout_valid += int(np.sum(validity))
+        if gt_layout is not None:
+            gt = gt_layout[:, :n]
+            # layout accuracy ignores positions where gt is <eos>
+            # (reference eval_clevr.py:119-122)
+            t = min(tokens.shape[0], gt.shape[0])
+            match = np.logical_or(tokens[:t] == gt[:t],
+                                  gt[:t] == grammar.eos_idx)
+            layout_correct += int(np.sum(np.all(match, axis=0)))
+        if labels is not None:
+            answer_correct += int(np.sum(
+                np.logical_and(validity, preds == np.asarray(labels)[:n])))
+        output_answers += [answer_word_list[p] for p in preds]
+
+    results = {
+        "answer_accuracy": answer_correct / max(num_questions, 1),
+        "layout_accuracy": layout_correct / max(num_questions, 1),
+        "layout_validity": layout_valid / max(num_questions, 1),
+        "num_questions": num_questions,
+    }
+    save_dir = os.path.join(cfg.root, "results", exp_name)
+    os.makedirs(save_dir, exist_ok=True)
+    save_file = os.path.join(save_dir,
+                             f"{snapshot_name}.{test_split}.txt")
+    with open(save_file, "w") as f:
+        for k, v in results.items():
+            line = f"{k.replace('_', ' ')} = {v} on {test_split}"
+            print(line)
+            print(line, file=f)
+    if save_eval_outputs:
+        out_dir = os.path.join(cfg.root, "eval_outputs", exp_name)
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(
+                out_dir, f"{snapshot_name}.{test_split}.txt"), "w") as f:
+            f.write("\n".join(output_answers) + "\n")
+    return results
