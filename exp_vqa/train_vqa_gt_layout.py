@@ -1,0 +1,20 @@
+"""VQA v1 behavioral cloning (CLI mirrors reference
+exp_vqa/train_vqa_gt_layout.py)."""
+import argparse, sys, os, dataclasses
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+parser = argparse.ArgumentParser()
+parser.add_argument("--gpu_id", type=int, default=0)
+parser.add_argument("--max_iter", type=int, default=None)
+parser.add_argument("--exp_name", type=str, default="vqa_gt_layout")
+parser.add_argument("--data_root", type=str, default=None)
+args = parser.parse_args()
+from n2nmn_tpu.experiments import vqa
+cfg = vqa.VqaConfig(exp_name=args.exp_name)
+IS_V2 = "" == "2"
+if IS_V2:
+    cfg = vqa.v2_config(base=cfg, exp_name=args.exp_name)
+if args.max_iter is not None:
+    cfg = dataclasses.replace(cfg, max_iter=args.max_iter)
+if args.data_root is not None:
+    cfg = dataclasses.replace(cfg, root=args.data_root)
+vqa.train(cfg)

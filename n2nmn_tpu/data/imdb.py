@@ -27,6 +27,14 @@ import numpy as np
 from n2nmn_tpu.data.text import VocabDict
 
 
+class _PrefetchError:
+    """Exception wrapper passed through the prefetch queue so loader
+    errors surface in the consumer instead of deadlocking it."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
 def prune_filter_modules(gt_layout_tokens):
     """Collapse consecutive {_Filter,_Find}+_Filter chains to one module
     (reference clevr_train/data_reader.py:65-71)."""
@@ -155,25 +163,31 @@ class DataReader:
         self._thread.start()
 
     def _run_prefetch(self):
-        num_samples = len(self.imdb)
-        n_sample = 0
-        fetch_order = np.arange(num_samples)
-        while True:
-            if n_sample == 0 and self.shuffle:
-                fetch_order = self._rng.permutation(num_samples)
-            sample_ids = fetch_order[n_sample:n_sample + self.batch_size]
-            batch = self.batch_loader.load_one_batch(sample_ids)
-            self.prefetch_queue.put(batch, block=True)
-            n_sample += len(sample_ids)
-            if n_sample >= num_samples:
-                if self.one_pass:
-                    self.prefetch_queue.put(None, block=True)
-                    return
-                n_sample = 0
+        try:
+            num_samples = len(self.imdb)
+            n_sample = 0
+            fetch_order = np.arange(num_samples)
+            while True:
+                if n_sample == 0 and self.shuffle:
+                    fetch_order = self._rng.permutation(num_samples)
+                sample_ids = fetch_order[n_sample:n_sample
+                                         + self.batch_size]
+                batch = self.batch_loader.load_one_batch(sample_ids)
+                self.prefetch_queue.put(batch, block=True)
+                n_sample += len(sample_ids)
+                if n_sample >= num_samples:
+                    if self.one_pass:
+                        self.prefetch_queue.put(None, block=True)
+                        return
+                    n_sample = 0
+        except BaseException as e:  # propagate to the consumer, never hang
+            self.prefetch_queue.put(_PrefetchError(e), block=True)
 
     def batches(self):
         while True:
             batch = self.prefetch_queue.get(block=True)
+            if isinstance(batch, _PrefetchError):
+                raise batch.exc
             if batch is None:
                 assert self.one_pass
                 return

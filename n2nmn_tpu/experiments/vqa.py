@@ -1,0 +1,277 @@
+"""VQA v1/v2 experiment runner: gt-layout cloning (+GloVe init, question
+prior net), RL fine-tune, and evaluation with VQA-server JSON output —
+replacing exp_vqa/train_vqa{,2}_{gt,rl_gt}_layout.py and eval_vqa{,2}.py.
+The v1/v2 difference in the reference is only data file names and
+max_iter (diff-verified, SURVEY.md §2.5)."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from n2nmn_tpu.layout.grammar import ModuleGrammar
+from n2nmn_tpu.models.netgen import NetgenConfig
+from n2nmn_tpu.models.nmn import NMNConfig, NMNModel
+from n2nmn_tpu.data.vqa import VqaDataReader
+from n2nmn_tpu.train.optim import make_optimizer
+from n2nmn_tpu.train.steps import (
+    create_train_state, make_cloning_step, make_rl_step, make_eval_step)
+from n2nmn_tpu.train.checkpoint import (
+    save_params, load_params, snapshot_path)
+from n2nmn_tpu.train.metrics import MetricsLogger
+
+
+@dataclasses.dataclass
+class VqaConfig:
+    exp_name: str = "vqa_gt_layout"
+    mode: str = "cloning"        # "cloning" | "rl"
+    root: str = "./exp_vqa"
+    # Module parameters (reference train_vqa_gt_layout.py:23-40)
+    H_feat: int = 14
+    W_feat: int = 14
+    D_feat: int = 2048
+    embed_dim_txt: int = 300
+    embed_dim_nmn: int = 300
+    lstm_dim: int = 1000
+    num_layers: int = 2
+    encoder_dropout: bool = True
+    decoder_dropout: bool = True
+    decoder_sampling: bool = False   # OFF even in training (:33); rl: True
+    T_encoder: int = 26
+    T_decoder: int = 13
+    N: int = 64
+    use_qpn: bool = True
+    qpn_dropout: bool = True
+    reduce_visfeat_dim: bool = False
+    new_visfeat_dim: int = 256
+    use_count_module: bool = False
+    # Training parameters (reference :42-48; rl :46-50)
+    weight_decay: float = 0.0
+    learning_rate: float = 1e-3      # rl: 1e-4
+    max_grad_l2_norm: Optional[float] = None  # cloning: none; rl: 10
+    baseline_decay: float = 0.99
+    max_iter: int = 40000            # v2: 80000
+    snapshot_interval: int = 5000
+    log_interval: int = 20
+    invalid_expr_loss: float = 0.5
+    lambda_entropy: float = 0.005
+    seed: int = 0
+    imdb_trn: str = "data/imdb/imdb_trainval2014.npy"
+    glove_mat_file: str = "data/vocabulary_vqa_glove.npy"
+    packed_features: Optional[str] = None
+
+
+def rl_config(**overrides) -> VqaConfig:
+    cfg = VqaConfig(exp_name="vqa_rl_gt_layout", mode="rl",
+                    decoder_sampling=True, learning_rate=1e-4,
+                    max_grad_l2_norm=10.0)
+    return dataclasses.replace(cfg, **overrides)
+
+
+def v2_config(base=None, **overrides) -> VqaConfig:
+    cfg = base or VqaConfig(exp_name="vqa2_gt_layout")
+    cfg = dataclasses.replace(
+        cfg, max_iter=80000,
+        imdb_trn="data/imdb_v2/imdb_v2_trainval2014.npy")
+    return dataclasses.replace(cfg, **overrides)
+
+
+def build_model(cfg: VqaConfig, sampling: bool, T_decoder: int = None):
+    grammar = ModuleGrammar.from_vocab_file(
+        os.path.join(cfg.root, "data", "vocabulary_layout.txt"))
+    with open(os.path.join(cfg.root, "data", "vocabulary_vqa.txt")) as f:
+        num_vocab_txt = len([l for l in f if l.strip()])
+    with open(os.path.join(cfg.root, "data", "answers_vqa.txt")) as f:
+        num_choices = len([l for l in f if l.strip()])
+    net_cfg = NetgenConfig(
+        num_vocab_txt=num_vocab_txt, embed_dim_txt=cfg.embed_dim_txt,
+        num_vocab_nmn=grammar.num_vocab, embed_dim_nmn=cfg.embed_dim_nmn,
+        lstm_dim=cfg.lstm_dim, num_layers=cfg.num_layers,
+        T_decoder=T_decoder or cfg.T_decoder,
+        encoder_dropout=cfg.encoder_dropout,
+        decoder_dropout=cfg.decoder_dropout,
+        decoder_sampling=sampling,
+        mask_mode="grammar")
+    model_cfg = NMNConfig(
+        flavor="vqa", netgen=net_cfg, num_choices=num_choices,
+        H_feat=cfg.H_feat, W_feat=cfg.W_feat,
+        D_feat=(cfg.new_visfeat_dim if cfg.reduce_visfeat_dim
+                else cfg.D_feat),
+        use_qpn=cfg.use_qpn, qpn_dropout=cfg.qpn_dropout,
+        reduce_visfeat_dim=cfg.reduce_visfeat_dim, D_feat_raw=cfg.D_feat)
+    return NMNModel(model_cfg, grammar), grammar
+
+
+def make_reader(cfg: VqaConfig, imdb_file, grammar, shuffle=True,
+                one_pass=False, load_gt_layout=None, T_decoder=None,
+                batch_size=None, **extra):
+    return VqaDataReader(
+        os.path.join(cfg.root, imdb_file)
+        if not os.path.isabs(imdb_file) else imdb_file,
+        shuffle=shuffle, one_pass=one_pass,
+        batch_size=batch_size or cfg.N,
+        vocab_question_file=os.path.join(cfg.root, "data",
+                                         "vocabulary_vqa.txt"),
+        vocab_answer_file=os.path.join(cfg.root, "data",
+                                       "answers_vqa.txt"),
+        T_encoder=cfg.T_encoder, T_decoder=T_decoder or cfg.T_decoder,
+        grammar=grammar, load_gt_layout=load_gt_layout,
+        use_count_module=cfg.use_count_module,
+        packed_feature_file=cfg.packed_features, **extra)
+
+
+def maybe_load_glove(cfg: VqaConfig, params):
+    """Overwrite the encoder embedding with GloVe vectors after init
+    (reference train_vqa_gt_layout.py:160-164)."""
+    path = os.path.join(cfg.root, cfg.glove_mat_file)
+    if os.path.exists(path):
+        glove = np.load(path).astype(np.float32)
+        tmpl = params["netgen"]["encoder"]["embedding"]["table"]
+        assert glove.shape == tmpl.shape, (glove.shape, tmpl.shape)
+        params["netgen"]["encoder"]["embedding"]["table"] = jnp.asarray(
+            glove)
+        print(f"initialized encoder embedding from GloVe: {path}")
+    else:
+        print(f"WARNING: GloVe file {path} not found; using random init")
+    return params
+
+
+def train(cfg: VqaConfig, pretrained_model: Optional[str] = None):
+    use_gt = cfg.mode == "cloning"
+    model, grammar = build_model(cfg, sampling=cfg.decoder_sampling)
+    reader = make_reader(cfg, cfg.imdb_trn, grammar, load_gt_layout=True
+                         if use_gt else None)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    params = model.init(key)
+    if pretrained_model:
+        params, _ = load_params(pretrained_model, params)
+        print(f"restored pretrained model from {pretrained_model}")
+    else:
+        params = maybe_load_glove(cfg, params)
+    tx = make_optimizer(cfg.learning_rate, cfg.max_grad_l2_norm)
+    state = create_train_state(
+        params, tx, jax.random.fold_in(key, 1),
+        baseline_init=cfg.invalid_expr_loss if cfg.mode == "rl" else 0.0)
+
+    if cfg.mode == "cloning":
+        train_step = make_cloning_step(model, tx, cfg.weight_decay,
+                                       dropout_training=True)
+    else:
+        train_step = make_rl_step(
+            model, tx, cfg.weight_decay, cfg.lambda_entropy,
+            cfg.invalid_expr_loss, cfg.baseline_decay,
+            dropout_training=True)
+
+    snapshot_dir = os.path.join(cfg.root, "tfmodel", cfg.exp_name)
+    logger = MetricsLogger(os.path.join(cfg.root, "tb"), cfg.exp_name)
+
+    for n_iter, batch in enumerate(reader.batches()):
+        if n_iter >= cfg.max_iter:
+            break
+        for k in ("image_path", "qid", "qstr", "n_real", "valid_answers",
+                  "all_answers", "binary_label", "gt_txtatt"):
+            batch.pop(k, None)
+        if not use_gt:
+            batch.pop("gt_layout", None)
+        state, aux = train_step(state, batch)
+
+        if ((n_iter + 1) % cfg.log_interval == 0
+                or (n_iter + 1) == cfg.max_iter):
+            acc = float(aux["accuracy"])
+            avg_acc = logger.update_accuracy(acc)
+            print("iter = %d\n\tloss = %f, accuracy (cur) = %f, "
+                  "accuracy (avg) = %f, entropy = %f, validity = %f" %
+                  (n_iter + 1, float(aux["loss"]), acc, avg_acc,
+                   float(aux["entropy"]), float(aux["validity"])),
+                  flush=True)
+            logger.log(n_iter + 1,
+                       {**{k: float(v) for k, v in aux.items()},
+                        "avg_accuracy": avg_acc,
+                        "baseline": float(state.baseline)})
+        if ((n_iter + 1) % cfg.snapshot_interval == 0
+                or (n_iter + 1) == cfg.max_iter):
+            path = snapshot_path(snapshot_dir, n_iter + 1)
+            save_params(path, state.params,
+                        extra={"baseline": state.baseline})
+            print("snapshot saved to " + path, flush=True)
+
+    logger.close()
+    return state
+
+
+def evaluate(cfg: VqaConfig, exp_name, snapshot_name, test_split,
+             batch_size=50):
+    """Greedy eval; masks the <unk> answer with -1e10 and writes the
+    VQA-server JSON [{question_id, answer}] (reference eval_vqa.py:96-167).
+    Answer accuracy is NOT computed locally (test-server protocol)."""
+    model, grammar = build_model(cfg, sampling=False)
+    imdb_file = f"data/imdb/imdb_{test_split}.npy"
+    reader = make_reader(cfg, imdb_file, grammar, shuffle=False,
+                         one_pass=True, batch_size=batch_size)
+    loader = reader.batch_loader
+    answer_word_list = loader.answer_dict.word_list
+    assert answer_word_list[0] == "<unk>", \
+        "answer list must start with <unk> (reference eval_vqa.py:105)"
+
+    params_t = model.init(jax.random.PRNGKey(0))
+    params, _ = load_params(
+        os.path.join(cfg.root, "tfmodel", exp_name, snapshot_name),
+        params_t)
+    eval_step = make_eval_step(model)
+    rng = jax.random.PRNGKey(0)
+
+    layout_correct = layout_valid = num_questions = 0
+    output_qids_answers = []
+    for batch in reader.batches():
+        n = batch.pop("n_real")
+        qids = batch.pop("qid")[:n]
+        gt_layout = batch.pop("gt_layout", None)
+        for k in ("image_path", "qstr", "valid_answers", "all_answers",
+                  "binary_label", "gt_txtatt", "label"):
+            batch.pop(k, None)
+        out = eval_step(params, batch, rng)
+        scores = np.array(out["scores"])[:n]
+        scores[:, 0] = -1e10  # remove <unk> answer
+        preds = np.argmax(scores, axis=1)
+        tokens = np.asarray(out["tokens"])[:, :n]
+        if gt_layout is not None:
+            gt = gt_layout[:, :n]
+            t = min(tokens.shape[0], gt.shape[0])
+            layout_correct += int(np.sum(np.all(
+                np.logical_or(tokens[:t] == gt[:t],
+                              gt[:t] == grammar.eos_idx), axis=0)))
+        layout_valid += int(np.sum(np.asarray(out["validity"])[:n]))
+        num_questions += n
+        output_qids_answers += [
+            {"question_id": int(qid), "answer": answer_word_list[p]}
+            for qid, p in zip(qids, preds)]
+
+    results = {
+        "layout_accuracy": layout_correct / max(num_questions, 1),
+        "layout_validity": layout_valid / max(num_questions, 1),
+        "num_questions": num_questions,
+    }
+    save_dir = os.path.join(cfg.root, "results", exp_name)
+    os.makedirs(save_dir, exist_ok=True)
+    with open(os.path.join(save_dir,
+                           f"{snapshot_name}.{test_split}.txt"), "w") as f:
+        print(f"On split: {test_split}", file=f)
+        for k, v in results.items():
+            print(f"\t{k.replace('_', ' ')} = {v}", file=f)
+            print(f"{k.replace('_', ' ')} = {v} on {test_split}")
+    out_dir = os.path.join(cfg.root, "eval_outputs", exp_name)
+    os.makedirs(out_dir, exist_ok=True)
+    eval_output_file = os.path.join(
+        out_dir, f"vqa_OpenEnded_mscoco_{test_split}_"
+                 f"{exp_name}_{snapshot_name}_results.json")
+    with open(eval_output_file, "w") as f:
+        json.dump(output_qids_answers, f)
+    print("prediction file written to", eval_output_file)
+    return results
