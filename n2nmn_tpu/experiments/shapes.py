@@ -22,7 +22,8 @@ from n2nmn_tpu.models.nmn import NMNConfig, NMNModel
 from n2nmn_tpu.data.shapes import load_shapes_split, batch_slices
 from n2nmn_tpu.train.optim import make_optimizer
 from n2nmn_tpu.train.steps import (
-    create_train_state, make_cloning_step, make_rl_step, make_eval_step)
+    create_train_state, cloning_step_body, rl_step_body,
+    make_chunked_trainer, make_eval_step)
 from n2nmn_tpu.train.checkpoint import (
     save_params, load_params, snapshot_path)
 from n2nmn_tpu.train.metrics import MetricsLogger
@@ -115,6 +116,20 @@ def _pad_batch(data, n_begin, n_end, N, with_gt=True):
     return batch
 
 
+def _stack_device_batches(data, N, with_gt):
+    """Pad the whole dataset to B*N and stack as per-batch arrays [B, ...]
+    living on device — the chunked trainer indexes batches on-device, so
+    the host never touches data again after this."""
+    q = data.num_questions
+    B = int(np.ceil(q / N))
+    pads = []
+    for i in range(B):
+        n_begin, n_end = i * N, min((i + 1) * N, q)
+        pads.append(_pad_batch(data, n_begin, n_end, N, with_gt=with_gt))
+    stacked = {k: np.stack([p[k] for p in pads]) for k in pads[0]}
+    return jax.device_put(stacked), B
+
+
 def train(cfg: ShapesConfig):
     model, grammar = build_model(cfg, sampling=cfg.decoder_sampling,
                                  dropout=True)
@@ -133,36 +148,47 @@ def train(cfg: ShapesConfig):
         baseline_init=cfg.invalid_expr_loss if cfg.mode == "scratch" else 0.0)
 
     if cfg.mode == "cloning":
-        train_step = make_cloning_step(model, tx, cfg.weight_decay)
+        body = cloning_step_body(model, tx, cfg.weight_decay)
     else:
-        train_step = make_rl_step(
+        body = rl_step_body(
             model, tx, cfg.weight_decay, cfg.lambda_entropy,
             cfg.invalid_expr_loss, cfg.baseline_decay)
 
+    with_gt = cfg.mode == "cloning"
+    device_data, B = _stack_device_batches(data, cfg.N, with_gt)
+    K = cfg.log_interval
+    chunk = make_chunked_trainer(body, device_data, B, K)
+
     snapshot_dir = os.path.join(cfg.root, "tfmodel", cfg.exp_name)
     logger = MetricsLogger(os.path.join(cfg.root, "tb"), cfg.exp_name)
-    with_gt = cfg.mode == "cloning"
 
-    for n_iter in range(cfg.max_iter):
-        n_begin, n_end = batch_slices(data.num_questions, cfg.N, n_iter)
-        batch = _pad_batch(data, n_begin, n_end, cfg.N, with_gt=with_gt)
-        state, aux = train_step(state, batch)
+    n_iter = 0
+    while n_iter < cfg.max_iter:
+        k = min(K, cfg.max_iter - n_iter)
+        if k < K:  # final partial chunk: separate (one extra compile)
+            chunk_last = make_chunked_trainer(body, device_data, B, k)
+            state, auxs = chunk_last(state, jnp.asarray(n_iter % B))
+        else:
+            state, auxs = chunk(state, jnp.asarray(n_iter % B))
+        auxs = jax.tree_util.tree_map(np.asarray, auxs)
+        # EMA accuracy updated per-iteration, printed per-chunk
+        # (reference cadence: print every log_interval iters)
+        for a in auxs["accuracy"]:
+            avg_acc = logger.update_accuracy(float(a))
+        n_iter += k
+        print("iter = %d\n\tloss = %f, accuracy (cur) = %f, "
+              "accuracy (avg) = %f, entropy = %f" %
+              (n_iter - 1, float(auxs["loss"][-1]),
+               float(auxs["accuracy"][-1]), avg_acc,
+               float(auxs["entropy"][-1])), flush=True)
+        logger.log(n_iter - 1,
+                   {**{k_: float(v[-1]) for k_, v in auxs.items()},
+                    "avg_accuracy": avg_acc,
+                    "baseline": float(state.baseline)})
 
-        if (n_iter % cfg.log_interval == 0
-                or (n_iter + 1) == cfg.max_iter):
-            acc = float(aux["accuracy"])
-            avg_acc = logger.update_accuracy(acc)
-            print("iter = %d\n\tloss = %f, accuracy (cur) = %f, "
-                  "accuracy (avg) = %f, entropy = %f" %
-                  (n_iter, float(aux["loss"]), acc, avg_acc,
-                   float(aux["entropy"])), flush=True)
-            logger.log(n_iter, {**{k: float(v) for k, v in aux.items()},
-                                "avg_accuracy": avg_acc,
-                                "baseline": float(state.baseline)})
-
-        if ((n_iter + 1) % cfg.snapshot_interval == 0
-                or (n_iter + 1) == cfg.max_iter):
-            path = snapshot_path(snapshot_dir, n_iter + 1)
+        if (n_iter % cfg.snapshot_interval == 0
+                or n_iter == cfg.max_iter):
+            path = snapshot_path(snapshot_dir, n_iter)
             save_params(path, state.params,
                         extra={"baseline": state.baseline})
             print("snapshot saved to " + path, flush=True)

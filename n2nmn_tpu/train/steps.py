@@ -61,9 +61,10 @@ def _xent(scores, labels):
     return -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
 
 
-def make_cloning_step(model, tx, weight_decay: float,
+def cloning_step_body(model, tx, weight_decay: float,
                       dropout_training: bool = True):
-    """Behavioral-cloning step. batch keys: text_seq [T,N], seq_length [N],
+    """Un-jitted behavioral-cloning step body (state, batch) ->
+    (state, aux). batch keys: text_seq [T,N], seq_length [N],
     image [N,...], gt_layout [Td,N], label [N], weight [N]."""
 
     def loss_fn(params, batch, rng):
@@ -90,7 +91,6 @@ def make_cloning_step(model, tx, weight_decay: float,
         }
         return total, aux
 
-    @jax.jit
     def train_step(state: TrainState, batch):
         rng, step_rng = jax.random.split(state.rng)
         grads, aux = jax.grad(loss_fn, has_aux=True)(
@@ -105,11 +105,17 @@ def make_cloning_step(model, tx, weight_decay: float,
     return train_step
 
 
-def make_rl_step(model, tx, weight_decay: float, lambda_entropy: float,
+def make_cloning_step(model, tx, weight_decay: float,
+                      dropout_training: bool = True):
+    return jax.jit(cloning_step_body(model, tx, weight_decay,
+                                     dropout_training))
+
+
+def rl_step_body(model, tx, weight_decay: float, lambda_entropy: float,
                  invalid_expr_loss: float, baseline_decay: float = 0.99,
                  dropout_training: bool = True,
                  use_gt_layout: bool = False):
-    """REINFORCE policy-search step (scratch or rl-finetune)."""
+    """Un-jitted REINFORCE step body (scratch or rl-finetune)."""
 
     def loss_fn(params, batch, rng, baseline):
         out = model.apply(
@@ -140,7 +146,6 @@ def make_rl_step(model, tx, weight_decay: float, lambda_entropy: float,
         }
         return total, aux
 
-    @jax.jit
     def train_step(state: TrainState, batch):
         rng, step_rng = jax.random.split(state.rng)
         grads, aux = jax.grad(loss_fn, has_aux=True)(
@@ -157,6 +162,42 @@ def make_rl_step(model, tx, weight_decay: float, lambda_entropy: float,
         return new_state, aux
 
     return train_step
+
+
+def make_rl_step(model, tx, weight_decay: float, lambda_entropy: float,
+                 invalid_expr_loss: float, baseline_decay: float = 0.99,
+                 dropout_training: bool = True,
+                 use_gt_layout: bool = False):
+    return jax.jit(rl_step_body(model, tx, weight_decay, lambda_entropy,
+                                invalid_expr_loss, baseline_decay,
+                                dropout_training, use_gt_layout))
+
+
+def make_chunked_trainer(body, data_on_device, num_batches: int,
+                         steps_per_call: int):
+    """Device-resident training driver: the whole (small) dataset lives on
+    device as stacked per-batch arrays [B, ...]; one jitted call scans
+    ``steps_per_call`` optimizer steps, indexing batch (start+k) % B —
+    amortizing host dispatch to ~zero. This is how SHAPES-sized datasets
+    should train on a TPU (the reference re-feeds host numpy slices every
+    iteration, exp_shapes/train_shapes_gt_layout.py:195-219).
+
+    body: un-jitted (state, batch) -> (state, aux).
+    data_on_device: dict of arrays with leading batch-index axis [B, ...].
+    Returns jitted fn(state, start_idx) -> (state, stacked aux [K])."""
+
+    @jax.jit
+    def run(state, start_idx):
+        def step(state, k):
+            idx = jax.lax.rem(start_idx + k, num_batches)
+            batch = jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(
+                    x, idx, axis=0, keepdims=False), data_on_device)
+            return body(state, batch)
+
+        return jax.lax.scan(step, state, jnp.arange(steps_per_call))
+
+    return run
 
 
 def make_eval_step(model):
