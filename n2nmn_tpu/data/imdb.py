@@ -46,13 +46,19 @@ def prune_filter_modules(gt_layout_tokens):
 
 
 class FeatureSource:
-    """Per-example feature access: packed mmap store or per-file .npy."""
+    """Per-example feature access: packed store (native mmap gather when
+    the C++ library is built — n2nmn_tpu/native/io.py) or per-file .npy
+    (native parallel reader with numpy fallback)."""
 
-    def __init__(self, imdb, packed_feature_file=None):
-        self.packed = None
+    def __init__(self, imdb, packed_feature_file=None, num_threads=8):
+        from n2nmn_tpu.native import io as native_io
+        self._native_io = native_io
+        self.num_threads = num_threads
+        self.store = None
         self.row_of = None
         if packed_feature_file and os.path.exists(packed_feature_file):
-            self.packed = np.load(packed_feature_file, mmap_mode="r")
+            self.store = native_io.PackedStore(packed_feature_file,
+                                               num_threads=num_threads)
             # row index: either 'feature_idx' in imdb or insertion order of
             # unique feature paths
             if "feature_idx" in imdb[0]:
@@ -62,19 +68,37 @@ class FeatureSource:
                 for rec in imdb:
                     paths.setdefault(rec["feature_path"], len(paths))
                 self.row_of = paths
-            self.feat_shape = self.packed.shape[1:]
+            shape_probe = np.load(packed_feature_file, mmap_mode="r")
+            self.feat_shape = shape_probe.shape[1:]
         else:
             feats = np.load(imdb[0]["feature_path"])
             self.feat_shape = feats.shape[1:] if feats.ndim == 4 \
                 else feats.shape
 
+    def _row_idx(self, rec):
+        return (rec["feature_idx"] if self.row_of is None
+                else self.row_of[rec["feature_path"]])
+
     def get(self, rec):
-        if self.packed is not None:
-            idx = (rec["feature_idx"] if self.row_of is None
-                   else self.row_of[rec["feature_path"]])
-            return self.packed[idx]
+        if self.store is not None:
+            return self.store.gather([self._row_idx(rec)]).reshape(
+                self.feat_shape)
         feats = np.load(rec["feature_path"])
         return feats[0] if feats.ndim == 4 else feats
+
+    def get_batch(self, recs, out):
+        """Fill out[:len(recs)] with the records' features (batch-level
+        native IO: one parallel gather / parallel file read)."""
+        n = len(recs)
+        flat = out[:n].reshape(n, -1)
+        if self.store is not None:
+            self.store.gather([self._row_idx(r) for r in recs], out=flat)
+        else:
+            self._native_io.load_npy_batch(
+                [r["feature_path"] for r in recs],
+                int(np.prod(self.feat_shape)), out=flat,
+                num_threads=self.num_threads)
+        return out
 
 
 class BatchLoader:
@@ -119,13 +143,13 @@ class BatchLoader:
             batch["gt_layout"] = np.full((self.T_decoder, N),
                                          self.grammar.eos_idx, np.int32)
 
-        for n, sid in enumerate(sample_ids):
-            rec = self.imdb[sid]
+        recs = [self.imdb[sid] for sid in sample_ids]
+        self.features.get_batch(recs, batch["image"])
+        for n, rec in enumerate(recs):
             inds = [self.vocab_dict.word2idx(w)
                     for w in rec["question_tokens"]]
             batch["text_seq"][:len(inds), n] = inds
             batch["seq_length"][n] = len(inds)
-            batch["image"][n] = self.features.get(rec)
             batch["image_path"][n] = rec.get("image_path")
             if self.load_answer:
                 batch["label"][n] = self.answer_dict.word2idx(rec["answer"])

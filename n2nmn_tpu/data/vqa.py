@@ -85,13 +85,13 @@ class VqaBatchLoader:
         if self.load_gt_txtatt:
             batch["gt_txtatt"] = np.zeros((self.T_decoder, T, N), bool)
 
-        for n, sid in enumerate(sample_ids):
-            rec = self.imdb[sid]
+        recs = [self.imdb[sid] for sid in sample_ids]
+        self.features.get_batch(recs, batch["image"])
+        for n, rec in enumerate(recs):
             inds = [self.vocab_dict.word2idx(w)
                     for w in rec["question_tokens"]]
             batch["text_seq"][:len(inds), n] = inds
             batch["seq_length"][n] = len(inds)
-            batch["image"][n] = self.features.get(rec)
             batch["image_path"][n] = rec.get("image_path")
             batch["qid"][n] = rec.get("question_id")
             batch["qstr"][n] = rec.get("question_str")
