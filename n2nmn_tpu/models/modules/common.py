@@ -13,10 +13,16 @@ Attention maps are carried flattened as [N, HW]; image feature grids as
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from n2nmn_tpu.ops.nn import l2_normalize
+
+# Fused Pallas kernels for the two hot inner patterns (find-core and
+# softmax readout); opt-in via env until validated per-deployment.
+USE_PALLAS = os.environ.get("N2NMN_USE_PALLAS", "0") == "1"
 
 
 def project_to_att(x, proj):
@@ -30,6 +36,10 @@ def find_core(img_mapped, txt_mapped, proj):
     """Find: l2norm(img_mapped * txt) -> 1x1 conv to one channel
     (reference FindModule, models_clevr/nmn3_modules.py:74-111).
     img_mapped: [N, HW, D]; txt_mapped: [N, D]."""
+    if USE_PALLAS:
+        from n2nmn_tpu.ops.pallas.kernels import fused_find
+        return fused_find(img_mapped, txt_mapped, proj["w"][:, 0],
+                          proj["b"][0])
     elt = l2_normalize(img_mapped * txt_mapped[:, None, :], axis=2)
     return project_to_att(elt, proj)
 
@@ -38,6 +48,9 @@ def att_softmax_readout(att_flat, image_feat):
     """softmax(att) over the grid, then attention-weighted feature readout
     (reference FindSamePropertyModule, nmn3_modules.py:170-174).
     att_flat: [N, HW]; image_feat: [N, HW, D] -> [N, D]."""
+    if USE_PALLAS:
+        from n2nmn_tpu.ops.pallas.kernels import fused_readout
+        return fused_readout(att_flat, image_feat)
     att_softmax = jax.nn.softmax(att_flat, axis=1)
     return jnp.einsum("np,npd->nd", att_softmax, image_feat)
 

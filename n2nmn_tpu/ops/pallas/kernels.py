@@ -1,0 +1,157 @@
+"""Pallas TPU kernels for the module-network hot ops.
+
+Every attention-producing module runs the same inner pattern per executor
+step: elementwise-modulate a mapped image grid by a text vector,
+L2-normalize over channels, and project to one logit per cell
+(reference FindModule math, models_clevr/nmn3_modules.py:101-108). The
+answer-readout pattern is softmax-over-grid + weighted feature sum
+(:170-174). These kernels fuse each pattern into one VMEM-resident pass —
+no [N, HW, D] intermediates round-tripping through HBM — with custom VJPs
+so they are usable in training.
+
+Enable via N2NMN_USE_PALLAS=1 (modules/common.py switches automatically);
+pure-XLA paths remain the default and the numerical reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-12
+
+
+# ---------------------------------------------------------------------------
+# fused find: y[n, p] = sum_d normalize(img[n,p,:] * txt[n,:])[d] * w[d] + b
+# ---------------------------------------------------------------------------
+
+def _find_fwd_kernel(img_ref, txt_ref, w_ref, b_ref, out_ref):
+    x = img_ref[0]                       # [HW, D]
+    t = txt_ref[:]                       # [1, D] -> broadcasts
+    e = x * t
+    sq = jnp.sum(e * e, axis=1, keepdims=True)       # [HW, 1]
+    inv = jax.lax.rsqrt(jnp.maximum(sq, _EPS))
+    y = jnp.sum(e * inv * w_ref[:], axis=1) + b_ref[0, 0]
+    out_ref[0] = y
+
+
+def _find_forward(img_mapped, txt, w, b):
+    n, hw, d = img_mapped.shape
+    return pl.pallas_call(
+        _find_fwd_kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hw, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hw), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hw), img_mapped.dtype),
+        interpret=_interpret_mode(),
+    )(img_mapped, txt, w.reshape(1, d), b.reshape(1, 1))
+
+
+@jax.custom_vjp
+def fused_find(img_mapped, txt, w, b):
+    """img_mapped [N, HW, D], txt [N, D], w [D], b [] -> att [N, HW]."""
+    return _find_forward(img_mapped, txt, w, b)
+
+
+def _find_fwd(img_mapped, txt, w, b):
+    return _find_forward(img_mapped, txt, w, b), (img_mapped, txt, w)
+
+
+def _find_bwd(res, g):
+    # backward in plain XLA: correct, fuses well, and keeps one source of
+    # truth for the derivative of the normalize-project composition
+    img_mapped, txt, w = res
+    e = img_mapped * txt[:, None, :]
+    sq = jnp.maximum(jnp.sum(e * e, axis=2, keepdims=True), _EPS)
+    inv = jax.lax.rsqrt(sq)                                   # [N, HW, 1]
+    u = e * inv
+    # y = u . w ; dL/du = g[:, :, None] * w
+    du = g[:, :, None] * w[None, None, :]
+    # d(normalize): de = inv * (du - u * sum(du * u))
+    de = inv * (du - u * jnp.sum(du * u, axis=2, keepdims=True))
+    d_img = de * txt[:, None, :]
+    d_txt = jnp.sum(de * img_mapped, axis=1)
+    d_w = jnp.einsum("np,npd->d", g, u)
+    d_b = jnp.sum(g)
+    return d_img, d_txt, d_w, d_b
+
+
+fused_find.defvjp(_find_fwd, _find_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused attention readout: out[n, :] = softmax(att[n, :]) @ img[n, :, :]
+# ---------------------------------------------------------------------------
+
+def _readout_fwd_kernel(att_ref, img_ref, out_ref):
+    a = att_ref[:]                        # [1, HW]
+    m = jnp.max(a, axis=1, keepdims=True)
+    ex = jnp.exp(a - m)
+    s = ex / jnp.sum(ex, axis=1, keepdims=True)       # [1, HW]
+    out_ref[:] = jnp.dot(s, img_ref[0],
+                         preferred_element_type=img_ref.dtype)
+
+
+def _readout_forward(att, img):
+    n, hw = att.shape
+    d = img.shape[2]
+    return pl.pallas_call(
+        _readout_fwd_kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hw), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hw, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, d), img.dtype),
+        interpret=_interpret_mode(),
+    )(att, img)
+
+
+@jax.custom_vjp
+def fused_readout(att, img):
+    """att [N, HW], img [N, HW, D] -> softmax-weighted readout [N, D]."""
+    return _readout_forward(att, img)
+
+
+def _readout_fwd(att, img):
+    return _readout_forward(att, img), (att, img)
+
+
+def _readout_bwd(res, g):
+    att, img = res
+    s = jax.nn.softmax(att, axis=1)                   # [N, HW]
+    d_img = s[:, :, None] * g[:, None, :]
+    gdot = jnp.einsum("npd,nd->np", img, g)           # [N, HW]
+    d_att = s * (gdot - jnp.sum(s * gdot, axis=1, keepdims=True))
+    return d_att, d_img
+
+
+fused_readout.defvjp(_readout_fwd, _readout_bwd)
+
+
+@functools.lru_cache(maxsize=1)
+def _interpret_mode() -> bool:
+    """Interpret kernels when not on a TPU backend (CPU tests). The axon
+    PJRT plugin reports platform 'axon' but TPU device kinds."""
+    try:
+        return not any("TPU" in d.device_kind for d in jax.devices())
+    except Exception:
+        return True

@@ -1,0 +1,86 @@
+"""Pallas kernel equivalence tests (interpret mode on CPU): forward and
+gradients must match the pure-XLA reference implementations."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from n2nmn_tpu.ops.pallas.kernels import fused_find, fused_readout
+from n2nmn_tpu.ops.nn import l2_normalize
+
+
+def ref_find(img_mapped, txt, w, b):
+    elt = l2_normalize(img_mapped * txt[:, None, :], axis=2)
+    return jnp.einsum("npd,d->np", elt, w) + b
+
+
+def ref_readout(att, img):
+    s = jax.nn.softmax(att, axis=1)
+    return jnp.einsum("np,npd->nd", s, img)
+
+
+@pytest.mark.parametrize("n,hw,d", [(4, 150, 250), (2, 9, 64), (3, 196, 32)])
+def test_fused_find_forward(n, hw, d):
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    img = jax.random.normal(k1, (n, hw, d))
+    txt = jax.random.normal(k2, (n, d))
+    w = jax.random.normal(k3, (d,))
+    b = jnp.float32(0.3)
+    out = fused_find(img, txt, w, b)
+    ref = ref_find(img, txt, w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_find_grads():
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(key, 3)
+    img = jax.random.normal(k1, (3, 20, 16))
+    txt = jax.random.normal(k2, (3, 16))
+    w = jax.random.normal(k3, (16,))
+    b = jnp.float32(-0.1)
+
+    def loss_p(img, txt, w, b):
+        return jnp.sum(fused_find(img, txt, w, b) ** 2)
+
+    def loss_r(img, txt, w, b):
+        return jnp.sum(ref_find(img, txt, w, b) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3))(img, txt, w, b)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(img, txt, w, b)
+    for a, r in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("n,hw,d", [(4, 150, 512), (2, 9, 64)])
+def test_fused_readout_forward(n, hw, d):
+    key = jax.random.PRNGKey(2)
+    k1, k2 = jax.random.split(key)
+    att = jax.random.normal(k1, (n, hw))
+    img = jax.random.normal(k2, (n, hw, d))
+    out = fused_readout(att, img)
+    ref = ref_readout(att, img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_readout_grads():
+    key = jax.random.PRNGKey(3)
+    k1, k2 = jax.random.split(key)
+    att = jax.random.normal(k1, (3, 12))
+    img = jax.random.normal(k2, (3, 12, 8))
+
+    def loss_p(att, img):
+        return jnp.sum(fused_readout(att, img) ** 3)
+
+    def loss_r(att, img):
+        return jnp.sum(ref_readout(att, img) ** 3)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(att, img)
+    gr = jax.grad(loss_r, argnums=(0, 1))(att, img)
+    for a, r in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
