@@ -96,6 +96,68 @@ def load_shapes_split(data_root, image_sets, vocab_shape_file, grammar,
                       gt_layout=gt_layout)
 
 
+def augment_shapes_data(data: ShapesData, vocab_shape_file,
+                        color_perms=True, hflip=True) -> ShapesData:
+    """Label-preserving SHAPES augmentation (new capability vs the
+    reference, motivated by this checkout shipping only ~3.4% of the
+    training images — train.large/med input.npy are absent).
+
+    Two exactly label-preserving transforms, requiring no knowledge of the
+    relation semantics:
+      * permute the image's RGB channels and apply the same permutation to
+        the color words (red/green/blue) in the question (x6);
+      * flip the image horizontally and swap left<->right question words
+        (x2). Vertical flips are NOT used (they would turn the upright
+        triangle sprites upside down, leaving the test distribution).
+    Expert layouts and labels are unchanged (the layout token sequence
+    carries no relation identity; relations live in the question words).
+    """
+    import itertools
+
+    with open(vocab_shape_file) as f:
+        vocab = [s.strip() for s in f]
+    word2idx = {w: i for i, w in enumerate(vocab)}
+    color_ids = [word2idx[c] for c in ("red", "green", "blue")]
+    left_id, right_id = word2idx["left"], word2idx["right"]
+
+    perms = list(itertools.permutations(range(3))) if color_perms \
+        else [(0, 1, 2)]
+    flips = [False, True] if hflip else [False]
+
+    texts, lengths, images, labels, layouts = [], [], [], [], []
+    for perm in perms:
+        for flip in flips:
+            # permuting image channels by `perm` sends original channel
+            # perm[i] to position i, so the word for channel perm[i] must
+            # become the word for channel i
+            remap = np.arange(len(vocab))
+            for i in range(3):
+                remap[color_ids[perm[i]]] = color_ids[i]
+            if flip:
+                # swap left/right (disjoint from the color words)
+                remap[left_id], remap[right_id] = (remap[right_id],
+                                                   remap[left_id])
+            text = remap[data.text_seq].astype(np.int32)
+
+            img = data.images[:, :, :, list(perm)]
+            if flip:
+                img = img[:, :, ::-1, :]
+            texts.append(text)
+            lengths.append(data.seq_length)
+            images.append(np.ascontiguousarray(img))
+            labels.append(data.labels)
+            if data.gt_layout is not None:
+                layouts.append(data.gt_layout)
+
+    return ShapesData(
+        text_seq=np.concatenate(texts, axis=1),
+        seq_length=np.concatenate(lengths),
+        images=np.concatenate(images),
+        labels=np.concatenate(labels),
+        gt_layout=(np.concatenate(layouts, axis=1)
+                   if data.gt_layout is not None else None))
+
+
 def batch_slices(num_questions, batch_size, n_iter):
     """Deterministic contiguous batch for iteration n_iter
     (reference train_shapes_gt_layout.py:190-192)."""

@@ -19,7 +19,8 @@ import numpy as np
 from n2nmn_tpu.layout.grammar import ModuleGrammar
 from n2nmn_tpu.models.netgen import NetgenConfig
 from n2nmn_tpu.models.nmn import NMNConfig, NMNModel
-from n2nmn_tpu.data.shapes import load_shapes_split, batch_slices
+from n2nmn_tpu.data.shapes import (
+    load_shapes_split, batch_slices, augment_shapes_data)
 from n2nmn_tpu.train.optim import make_optimizer
 from n2nmn_tpu.train.steps import (
     create_train_state, cloning_step_body, rl_step_body,
@@ -58,6 +59,10 @@ class ShapesConfig:
     lambda_entropy: float = 0.5      # scratch mode only
     baseline_decay: float = 0.99
     seed: int = 0
+    # Label-preserving augmentation (color-permutation x hflip); compensates
+    # for this checkout missing the train.large/med images. See
+    # data/shapes.py:augment_shapes_data.
+    augment: bool = True
 
 
 def scratch_config(**overrides) -> ShapesConfig:
@@ -139,6 +144,20 @@ def train(cfg: ShapesConfig):
         grammar, cfg.T_encoder, cfg.T_decoder,
         shuffle_seed=3,  # reference fixed seed (train_shapes_gt_layout.py:89)
         load_gt_layout=(cfg.mode == "cloning"))
+    if cfg.augment:
+        data = augment_shapes_data(
+            data, os.path.join(cfg.root, "data", "vocabulary_shape.txt"))
+        # reshuffle so augmented variants mix across batches
+        rng = np.random.RandomState(7)
+        perm = rng.permutation(data.num_questions)
+        data = dataclasses.replace(
+            data, text_seq=data.text_seq[:, perm],
+            seq_length=data.seq_length[perm], images=data.images[perm],
+            labels=data.labels[perm],
+            gt_layout=(data.gt_layout[:, perm]
+                       if data.gt_layout is not None else None))
+        print(f"augmented training set: {data.num_questions} questions",
+              flush=True)
 
     key = jax.random.PRNGKey(cfg.seed)
     params = model.init(key)
