@@ -184,20 +184,26 @@ def make_chunked_trainer(body, data_on_device, num_batches: int,
 
     body: un-jitted (state, batch) -> (state, aux).
     data_on_device: dict of arrays with leading batch-index axis [B, ...].
-    Returns jitted fn(state, start_idx) -> (state, stacked aux [K])."""
+    The data is threaded through jit as an ARGUMENT (closing over large
+    device arrays would inline them as MLIR constants — lowering then
+    serializes the whole dataset).
+    Returns fn(state, start_idx) -> (state, stacked aux [K])."""
 
     @jax.jit
-    def run(state, start_idx):
+    def run(state, start_idx, data):
         def step(state, k):
             idx = jax.lax.rem(start_idx + k, num_batches)
             batch = jax.tree_util.tree_map(
                 lambda x: jax.lax.dynamic_index_in_dim(
-                    x, idx, axis=0, keepdims=False), data_on_device)
+                    x, idx, axis=0, keepdims=False), data)
             return body(state, batch)
 
         return jax.lax.scan(step, state, jnp.arange(steps_per_call))
 
-    return run
+    def runner(state, start_idx):
+        return run(state, start_idx, data_on_device)
+
+    return runner
 
 
 def make_eval_step(model):
