@@ -88,14 +88,18 @@ def execute_layout(tokens: jnp.ndarray,
                    pre_step,
                    hw: int,
                    num_choices: int,
-                   stack_size: int | None = None):
+                   stack_size: int | None = None,
+                   return_intermediates: bool = False):
     """Run the padded RPN program.
 
     tokens: [T_dec, N] int32 module tokens (Reverse Polish order).
     pre_static: pytree of batch-level precomputes (no time axis).
     pre_step: pytree of per-step precomputes with leading axis T_dec
               (e.g. per-module text mappings fc(word_vecs)).
-    Returns (scores [N, num_choices], validity [N] bool).
+    Returns (scores [N, num_choices], validity [N] bool); with
+    return_intermediates also the per-step selected attention maps
+    [T_dec, N, HW] (visualization — the reference needed a whole notebook
+    replaying modules outside Fold for this, visualize_shapes.ipynb).
     """
     T, N = tokens.shape
     S = stack_size if stack_size is not None else T
@@ -164,15 +168,18 @@ def execute_layout(tokens: jnp.ndarray,
         ans_scores = jnp.where(is_ans[:, None], ans_out, ans_scores)
         ptr = jnp.clip(ptr - arity + is_att.astype(jnp.int32), 0, S)
 
-        return (stack, ptr, ans_scores, X, valid, seen_eos), None
+        emit = att_out if return_intermediates else None
+        return (stack, ptr, ans_scores, X, valid, seen_eos), emit
 
     carry0 = (stack0, ptr0, scores0, X0, valid0, seen_eos0)
     xs = (tokens, pre_step, jnp.arange(T))
-    (stack, ptr, ans_scores, X, valid, seen_eos), _ = jax.lax.scan(
+    (stack, ptr, ans_scores, X, valid, seen_eos), step_atts = jax.lax.scan(
         step, carry0, xs)
 
     validity = jnp.logical_and(valid, seen_eos)
     # invalid expressions get the dummy all-zero score vector
     # (reference nmn3_model.py:146-155)
     scores = jnp.where(validity[:, None], ans_scores, 0.0)
+    if return_intermediates:
+        return scores, validity, step_atts
     return scores, validity
