@@ -10,12 +10,13 @@ parser.add_argument("--gpu_id", type=int, default=0)  # device index
 parser.add_argument("--max_iter", type=int, default=None)
 parser.add_argument("--exp_name", type=str, default="shapes_gt_layout")
 parser.add_argument("--data_root", type=str, default=None)
+parser.add_argument("--resume", action="store_true")
 args = parser.parse_args()
 
 import dataclasses
 from n2nmn_tpu.experiments import shapes
 
-cfg = shapes.ShapesConfig(exp_name=args.exp_name)
+cfg = shapes.ShapesConfig(exp_name=args.exp_name, resume=args.resume)
 if args.max_iter is not None:
     cfg = dataclasses.replace(cfg, max_iter=args.max_iter)
 if args.data_root is not None:

@@ -26,7 +26,8 @@ from n2nmn_tpu.train.steps import (
     create_train_state, cloning_step_body, rl_step_body,
     make_chunked_trainer, make_eval_step)
 from n2nmn_tpu.train.checkpoint import (
-    save_params, load_params, snapshot_path)
+    save_params, load_params, snapshot_path, save_pytree, load_pytree,
+    latest_snapshot)
 from n2nmn_tpu.train.metrics import MetricsLogger
 
 
@@ -63,6 +64,8 @@ class ShapesConfig:
     # for this checkout missing the train.large/med images. See
     # data/shapes.py:augment_shapes_data.
     augment: bool = True
+    # crash-resume from the latest full-state snapshot if present
+    resume: bool = False
 
 
 def scratch_config(**overrides) -> ShapesConfig:
@@ -182,6 +185,13 @@ def train(cfg: ShapesConfig):
     logger = MetricsLogger(os.path.join(cfg.root, "tb"), cfg.exp_name)
 
     n_iter = 0
+    if cfg.resume:
+        found = latest_snapshot(snapshot_dir)
+        if found:
+            state_path, n_iter = found
+            state = load_pytree(state_path, state)
+            print(f"resumed full train state from {state_path} "
+                  f"(iter {n_iter})", flush=True)
     while n_iter < cfg.max_iter:
         k = min(K, cfg.max_iter - n_iter)
         if k < K:  # final partial chunk: separate (one extra compile)
@@ -210,6 +220,8 @@ def train(cfg: ShapesConfig):
             path = snapshot_path(snapshot_dir, n_iter)
             save_params(path, state.params,
                         extra={"baseline": state.baseline})
+            # full state (params+optimizer+baseline+rng) for crash-resume
+            save_pytree(path + ".state", state)
             print("snapshot saved to " + path, flush=True)
 
     logger.close()

@@ -85,3 +85,51 @@ def load_params(path, template, exclude=(), dtype=None):
 def snapshot_path(snapshot_dir, n_iter):
     """Reference-style zero-padded snapshot name '%08d'."""
     return os.path.join(snapshot_dir, "%08d" % n_iter)
+
+
+# ---- full-train-state checkpointing (crash-resume; the reference can only
+# warm-start weights manually via --pretrained_model, losing optimizer
+# state — SURVEY.md §5 "checkpoint/resume") ----
+
+def save_pytree(path, tree):
+    """Save an arbitrary pytree (incl. optax states / namedtuples) using
+    jax keypath-keyed arrays."""
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    flat = {jax.tree_util.keystr(p): np.asarray(v) for p, v in leaves}
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    np.savez(path if path.endswith(".npz") else path + ".npz", **flat)
+
+
+def load_pytree(path, template):
+    """Restore into the structure of ``template`` (same treedef)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    out = []
+    for p, tmpl in leaves:
+        key = jax.tree_util.keystr(p)
+        if key not in data:
+            raise KeyError(f"state checkpoint missing {key!r}")
+        value = data[key]
+        tmpl_arr = np.asarray(tmpl)
+        if tuple(value.shape) != tuple(tmpl_arr.shape):
+            raise ValueError(f"shape mismatch for {key!r}")
+        out.append(jnp.asarray(value))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def latest_snapshot(snapshot_dir, suffix=".state.npz"):
+    """Most recent '%08d<suffix>' snapshot in a directory, or None."""
+    if not os.path.isdir(snapshot_dir):
+        return None
+    iters = []
+    for name in os.listdir(snapshot_dir):
+        if name.endswith(suffix):
+            stem = name[: -len(suffix)]
+            if stem.isdigit():
+                iters.append(int(stem))
+    if not iters:
+        return None
+    n = max(iters)
+    return os.path.join(snapshot_dir, "%08d%s" % (n, suffix)), n

@@ -198,3 +198,28 @@ def test_augmentation_label_preserving_structure():
                                   data.images[:, :, ::-1, :])
     # labels/layouts replicated unchanged
     np.testing.assert_array_equal(aug.labels, np.tile(data.labels, 12))
+
+
+def test_full_state_checkpoint_roundtrip(tmp_path):
+    from n2nmn_tpu.train.checkpoint import (
+        save_pytree, load_pytree, latest_snapshot)
+    model, grammar = tiny_model(sampling=False)
+    tx = make_optimizer(1e-2, 10.0)
+    state = create_train_state(model.init(jax.random.PRNGKey(0)), tx,
+                               jax.random.PRNGKey(1))
+    step = make_cloning_step(model, tx, weight_decay=0.0,
+                             dropout_training=False)
+    batch = tiny_batch(grammar=grammar)
+    state, _ = step(state, batch)  # populate adam moments
+
+    path = str(tmp_path / "00000020.state")
+    save_pytree(path, state)
+    template = create_train_state(model.init(jax.random.PRNGKey(9)), tx,
+                                  jax.random.PRNGKey(2))
+    restored = load_pytree(path, template)
+    # params, optimizer moments, step and rng all roundtrip
+    for a, b in zip(jax.tree_util.tree_leaves(restored),
+                    jax.tree_util.tree_leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    found = latest_snapshot(str(tmp_path))
+    assert found is not None and found[1] == 20
