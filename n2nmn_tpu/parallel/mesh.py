@@ -97,3 +97,18 @@ def shard_batch(batch, mesh: Mesh):
 def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def host_sharded_batch(local_batch, mesh: Mesh):
+    """Multi-host input assembly: each host contributes its process-local
+    shard of the global batch (SURVEY.md §2.7: per-host data loading over
+    DCN feeding jax.make_array_from_process_local_data). On a single-host
+    mesh this reduces to shard_batch."""
+    if jax.process_count() == 1:
+        return shard_batch(local_batch, mesh)
+    shardings = batch_shardings(local_batch, mesh)
+
+    def assemble(x, sharding):
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree_util.tree_map(assemble, local_batch, shardings)
