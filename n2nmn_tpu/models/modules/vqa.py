@@ -36,12 +36,16 @@ def add_spatial_coordinate_map(image_feat):
 
 
 def init_params(key, image_dim, text_dim, num_choices, map_dim=MAP_DIM,
-                dtype=jnp.float32):
-    """image_dim here is the grid channel count BEFORE coords are added."""
+                encoder_dim=None, dtype=jnp.float32):
+    """image_dim here is the grid channel count BEFORE coords are added.
+    encoder_dim, when set, adds the optional encoder-states mixing path to
+    _Describe (reference nmn3_modules.py:193-240; the reference model
+    builds the capability but passes encoder_states=None,
+    models_vqa/nmn3_model.py:61)."""
     d = image_dim + 2
     keys = jax.random.split(key, 12)
     k = iter(keys)
-    return {
+    params = {
         "find": {
             "conv_image": init_fc(next(k), d, map_dim, dtype=dtype),
             "fc_text": init_fc(next(k), text_dim, map_dim, dtype=dtype),
@@ -60,11 +64,16 @@ def init_params(key, image_dim, text_dim, num_choices, map_dim=MAP_DIM,
                                   dtype=dtype),
         },
     }
+    if encoder_dim is not None:
+        params["describe"]["fc_encoder_states"] = init_fc(
+            next(k), encoder_dim, map_dim, dtype=dtype)
+    return params
 
 
-def precompute(params, image_feat, word_vecs):
+def precompute(params, image_feat, word_vecs, encoder_states=None):
     """image_feat: [N, H, W, D_im] (coords NOT yet added);
-    word_vecs: [T_dec, N, D_txt]."""
+    word_vecs: [T_dec, N, D_txt]; encoder_states: optional [N, D_enc]
+    mixed into _Describe when fc_encoder_states params exist."""
     image_feat = add_spatial_coordinate_map(image_feat)
     n, h, w, d = image_feat.shape
     t, _, d_txt = word_vecs.shape
@@ -81,6 +90,10 @@ def precompute(params, image_feat, word_vecs):
                                   image_feat).reshape(n, h * w, -1),
         "h": h, "w": w,
     }
+    if encoder_states is not None and "fc_encoder_states" in \
+            params["describe"]:
+        p = params["describe"]["fc_encoder_states"]
+        pre_static["enc_mapped"] = encoder_states @ p["w"] + p["b"]
     pre_step = {
         "txt_find": txt(params["find"]["fc_text"]),
         "txt_tfm": txt(params["transform"]["fc_text"]),
@@ -113,7 +126,12 @@ def make_branches(params):
         p = params["describe"]
         att_mapped = _fc(p["fc_att"],
                          common.att_softmax_readout(in0, pre["image_feat"]))
-        elt = l2_normalize(pre_t["txt_desc"] * att_mapped, axis=1)
+        elt = pre_t["txt_desc"] * att_mapped
+        if "enc_mapped" in pre:
+            # optional encoder-state mixing (reference
+            # nmn3_modules.py:232-235)
+            elt = elt * pre["enc_mapped"]
+        elt = l2_normalize(elt, axis=1)
         return _fc(p["fc_eltwise"], elt)
 
     return [find, transform, and_], [describe]

@@ -94,6 +94,36 @@ def apply_1x1_conv(params, x):
     return y.reshape(n, h, w, -1)
 
 
+def init_deconv(key, kernel_size, input_dim, output_dim, bias=True,
+                dtype=jnp.float32):
+    """Transposed-conv params (reference util/cnn.py:42-73)."""
+    p = {"w": xavier_uniform_conv(
+        key, (kernel_size, kernel_size, output_dim, input_dim), dtype)}
+    if bias:
+        p["b"] = jnp.zeros((output_dim,), dtype)
+    return p
+
+
+def apply_deconv(params, x, stride=2, padding="SAME"):
+    """NHWC transposed convolution."""
+    y = lax.conv_transpose(
+        x, params["w"], strides=(stride, stride), padding=padding,
+        dimension_numbers=("NHWC", "HWOI", "NHWC"),
+        transpose_kernel=True)
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def max_pool(x, kernel_size, stride, padding="SAME"):
+    """Max pooling (reference util/cnn.py:82-85)."""
+    return lax.reduce_window(
+        x, -jnp.inf, lax.max,
+        window_dimensions=(1, kernel_size, kernel_size, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=padding)
+
+
 def init_embedding(key, num_vocab, embed_dim, dtype=jnp.float32):
     """Embedding matrix; Xavier uniform like TF1 get_variable default."""
     return {"table": xavier_uniform(key, (num_vocab, embed_dim), dtype)}
