@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from n2nmn_tpu.layout.grammar import (
-    ModuleGrammar, MODULE_ARITY, MODULE_OUTPUT_TYPE, EOS)
+    ModuleGrammar, MODULE_ARITY, MODULE_OUTPUT_TYPE)
 
 INVALID_EXPR = "INVALID_EXPR"
 

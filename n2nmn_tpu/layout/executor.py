@@ -24,7 +24,7 @@ reference routes across its two partial_run phases.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Sequence, Tuple
+from typing import Callable, List, Sequence
 
 import jax
 import jax.numpy as jnp

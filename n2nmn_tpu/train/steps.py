@@ -22,8 +22,7 @@ Batches may be padded to a fixed size; ``weight`` (1 for real examples,
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
