@@ -79,6 +79,7 @@ def init_netgen(key, cfg: NetgenConfig, dtype=jnp.float32):
     }
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class NetgenOutput:
     tokens: jnp.ndarray        # [T_dec, N] int32

@@ -50,6 +50,7 @@ class NMNConfig:
     D_feat_raw: int = 0            # raw channels before reduce_visfeat_dim
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class NMNOutput:
     scores: jnp.ndarray        # [N, num_choices]

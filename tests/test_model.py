@@ -1,0 +1,125 @@
+"""Full NMNModel integration tests across the three dataset flavors,
+including the VQA options (question-prior net, reduce_visfeat_dim) and
+gradient flow from the answer loss into every parameter group."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from n2nmn_tpu.layout.grammar import ModuleGrammar
+from n2nmn_tpu.models.netgen import NetgenConfig
+from n2nmn_tpu.models.nmn import NMNConfig, NMNModel
+
+VOCABS = {
+    "shapes": ["_Find", "_Transform", "_And", "_Answer", "<eos>"],
+    "clevr": ["_Scene", "_Find", "_Filter", "_FindSameProperty",
+              "_Transform", "_And", "_Or", "_Exist", "_Count",
+              "_EqualNum", "_MoreNum", "_LessNum", "_SameProperty",
+              "_Describe", "<eos>"],
+    "vqa": ["_Find", "_Transform", "_And", "_Describe", "<eos>"],
+}
+
+
+def build(flavor, **overrides):
+    grammar = ModuleGrammar(VOCABS[flavor])
+    net_cfg = NetgenConfig(
+        num_vocab_txt=20, embed_dim_txt=12,
+        num_vocab_nmn=grammar.num_vocab, embed_dim_nmn=12,
+        lstm_dim=16, num_layers=2, T_decoder=8,
+        decoder_sampling=False,
+        mask_mode="eos_force" if flavor == "shapes" else "grammar")
+    defaults = dict(flavor=flavor, netgen=net_cfg, num_choices=5,
+                    H_feat=3, W_feat=4, D_feat=8)
+    defaults.update(overrides)
+    cfg = NMNConfig(**defaults)
+    return NMNModel(cfg, grammar), grammar
+
+
+def run(model, N=6, T_enc=7, image_shape=None, seed=0):
+    cfg = model.cfg
+    rng = np.random.RandomState(seed)
+    text = jnp.asarray(rng.randint(0, 20, size=(T_enc, N)), jnp.int32)
+    lengths = jnp.asarray(rng.randint(2, T_enc + 1, size=N), jnp.int32)
+    shape = image_shape or (N, cfg.H_feat, cfg.W_feat, cfg.D_feat)
+    image = jnp.asarray(rng.randn(*shape), jnp.float32)
+    params = model.init(jax.random.PRNGKey(seed))
+    out = jax.jit(lambda p, t, l, i, r: model.apply(p, t, l, i, r))(
+        params, text, lengths, image, jax.random.PRNGKey(1))
+    return params, out
+
+
+@pytest.mark.parametrize("flavor", ["shapes", "clevr", "vqa"])
+def test_model_forward_shapes_and_finiteness(flavor):
+    model, grammar = build(flavor)
+    _, out = run(model)
+    assert out.scores.shape == (6, 5)
+    assert out.tokens.shape == (8, 6)
+    assert np.all(np.isfinite(np.asarray(out.scores)))
+    if flavor != "shapes":  # grammar-masked: always valid
+        assert np.all(np.asarray(out.validity))
+
+
+def test_vqa_qpn_adds_logits():
+    model, _ = build("vqa", use_qpn=True)
+    params, out = run(model)
+    model_noqpn, _ = build("vqa", use_qpn=False)
+    params_noqpn = {k: v for k, v in params.items() if k != "qpn"}
+    _, out2 = run(model_noqpn)
+    # qpn params exist and contribute (scores differ from nmn-only path
+    # computed with the same module/netgen params)
+    assert "qpn" in params
+
+    def fwd(m, p):
+        rng = np.random.RandomState(0)
+        text = jnp.asarray(rng.randint(0, 20, size=(7, 6)), jnp.int32)
+        lengths = jnp.asarray(rng.randint(2, 8, size=6), jnp.int32)
+        image = jnp.asarray(rng.randn(6, 3, 4, 8), jnp.float32)
+        return m.apply(p, text, lengths, image, jax.random.PRNGKey(1))
+
+    s_with = np.asarray(fwd(model, params).scores)
+    s_without = np.asarray(fwd(model_noqpn, params_noqpn).scores)
+    assert not np.allclose(s_with, s_without)
+
+
+def test_vqa_reduce_visfeat_dim():
+    model, _ = build("vqa", reduce_visfeat_dim=True, D_feat=8,
+                     D_feat_raw=32)
+    _, out = run(model, image_shape=(6, 3, 4, 32))
+    assert out.scores.shape == (6, 5)
+    assert np.all(np.isfinite(np.asarray(out.scores)))
+
+
+def test_gradients_reach_all_param_groups():
+    model, grammar = build("clevr")
+    rng = np.random.RandomState(0)
+    N, T_enc = 6, 7
+    text = jnp.asarray(rng.randint(0, 20, size=(T_enc, N)), jnp.int32)
+    lengths = jnp.asarray(rng.randint(2, T_enc + 1, size=N), jnp.int32)
+    image = jnp.asarray(rng.randn(N, 3, 4, 8), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, 5, size=N), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0))
+    gt = np.full((8, N), grammar.eos_idx, np.int32)
+    gt[0] = grammar.name2idx["_Find"]
+    gt[1] = grammar.name2idx["_Describe"]
+
+    def loss(params):
+        out = model.apply(params, text, lengths, image,
+                          jax.random.PRNGKey(1),
+                          gt_layout=jnp.asarray(gt), use_gt_layout=True)
+        logp = jax.nn.log_softmax(out.scores)
+        xent = -jnp.take_along_axis(logp, labels[:, None], axis=1).mean()
+        return xent + jnp.mean(-out.log_seq_prob)
+
+    grads = jax.grad(loss)(params)
+    # the cross-phase gradient path the reference routes through two
+    # partial_runs: answer loss -> word_vecs -> decoder attention ->
+    # encoder (SURVEY.md hard part c)
+    enc_emb = np.asarray(grads["netgen"]["encoder"]["embedding"]["table"])
+    assert np.any(enc_emb != 0), "no gradient into the encoder embedding"
+    assert np.any(np.asarray(
+        grads["netgen"]["decoder"]["att_w"]["w"]) != 0)
+    assert np.any(np.asarray(
+        grads["modules"]["find"]["conv_image"]["w"]) != 0)
+    assert np.any(np.asarray(
+        grads["modules"]["describe"]["fc_eltwise"]["w"]) != 0)
