@@ -168,7 +168,7 @@ class DataReader:
     .batches() generator, shuffle/one_pass semantics)."""
 
     def __init__(self, imdb_file, shuffle=True, one_pass=False,
-                 prefetch_num=8, batch_size=64, num_workers=1,
+                 prefetch_num=8, batch_size=64,
                  seed=None, **loader_kwargs):
         if isinstance(imdb_file, str):
             imdb = np.load(imdb_file, allow_pickle=True)
