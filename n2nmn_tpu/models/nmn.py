@@ -44,6 +44,7 @@ class NMNConfig:
     W_feat: int
     D_feat: int                    # channels of the module-visible grid
     in_graph_cnn: bool = False     # SHAPES: images -> convnet in-graph
+    in_graph_vgg: bool = False     # CLEVR: raw images -> VGG pool5 in-graph
     use_qpn: bool = False
     qpn_dropout: bool = False
     reduce_visfeat_dim: bool = False
@@ -91,6 +92,12 @@ class NMNModel:
             dtype=dtype, **lib_kwargs)
         if cfg.in_graph_cnn:
             params["convnet"] = backbones.init_shapes_convnet(k_cnn, dtype)
+        if cfg.in_graph_vgg:
+            # end-to-end image->answer: replaces the reference's 29 GB
+            # offline VGG pool5 dump (README.md:57) with on-device
+            # extraction fused into the same program; load converted
+            # weights via models/vgg_convert.py
+            params["vgg"] = backbones.init_vgg16(k_cnn, dtype)
         if cfg.use_qpn:
             params["qpn"] = init_qpn(k_qpn, cfg.netgen.lstm_dim,
                                      cfg.netgen.num_layers,
@@ -120,6 +127,8 @@ class NMNModel:
         if cfg.in_graph_cnn:
             image_feat = backbones.shapes_convnet(params["convnet"],
                                                   image_input)
+        elif cfg.in_graph_vgg:
+            image_feat = backbones.vgg16_pool5(params["vgg"], image_input)
         else:
             image_feat = image_input
         if cfg.reduce_visfeat_dim:

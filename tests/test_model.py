@@ -123,3 +123,13 @@ def test_gradients_reach_all_param_groups():
         grads["modules"]["find"]["conv_image"]["w"]) != 0)
     assert np.any(np.asarray(
         grads["modules"]["describe"]["fc_eltwise"]["w"]) != 0)
+
+
+def test_clevr_end_to_end_in_graph_vgg():
+    """Raw image -> VGG pool5 -> modules in one program (tiny image)."""
+    model, _ = build("clevr", in_graph_vgg=True, H_feat=1, W_feat=1,
+                     D_feat=512)
+    # 32x32 image -> pool5 grid 1x1x512
+    _, out = run(model, image_shape=(2, 32, 32, 3), N=2)
+    assert out.scores.shape == (2, 5)
+    assert np.all(np.isfinite(np.asarray(out.scores)))
