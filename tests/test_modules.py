@@ -1,0 +1,79 @@
+"""Hand-derived value tests for individual module semantics (the
+reference's module math, models_clevr/nmn3_modules.py et al)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from n2nmn_tpu.models.modules import common, clevr, shapes, vqa
+from n2nmn_tpu.ops.nn import l2_normalize
+
+
+def test_min_avg_max():
+    att = jnp.asarray([[1.0, 2.0, 3.0], [-1.0, 0.0, 1.0]])
+    out = np.asarray(common.min_avg_max(att))
+    np.testing.assert_allclose(out, [[1, 2, 3], [-1, 0, 1]])
+
+
+def test_flat_min_max():
+    att = jnp.asarray([[1.0, 2.0, 3.0]])
+    out = np.asarray(common.flat_min_max(att))
+    np.testing.assert_allclose(out, [[1, 2, 3, 1, 3]])
+
+
+def test_find_core_hand_value():
+    # 1 example, 2 cells, 2 channels
+    img = jnp.asarray([[[3.0, 4.0], [1.0, 0.0]]])   # [1, 2, 2]
+    txt = jnp.asarray([[1.0, 1.0]])                  # [1, 2]
+    proj = {"w": jnp.asarray([[1.0], [0.0]]), "b": jnp.asarray([0.5])}
+    out = np.asarray(common.find_core(img, txt, proj))
+    # cell 0: e=(3,4), normalized (0.6, 0.8) -> 0.6 + 0.5
+    # cell 1: e=(1,0), normalized (1, 0)     -> 1.0 + 0.5
+    np.testing.assert_allclose(out, [[1.1, 1.5]], rtol=1e-6)
+
+
+def test_att_softmax_readout_uniform():
+    att = jnp.zeros((1, 4))                  # uniform softmax
+    img = jnp.asarray(np.arange(8, dtype=np.float32).reshape(1, 4, 2))
+    out = np.asarray(common.att_softmax_readout(att, img))
+    np.testing.assert_allclose(out, img.mean(axis=1), rtol=1e-6)
+
+
+def test_and_or_min_max():
+    att_b, ans_b = clevr.make_branches(
+        clevr.init_params(jax.random.PRNGKey(0), 4, 4, 3, hw=6))
+    a = jnp.asarray([[1.0, -2.0, 3.0, 0.0, 5.0, -6.0]])
+    b = jnp.asarray([[0.0, 1.0, 2.0, 3.0, 4.0, 5.0]])
+    and_out = np.asarray(att_b[5](None, None, a, b, 0))
+    or_out = np.asarray(att_b[6](None, None, a, b, 0))
+    np.testing.assert_allclose(and_out, np.minimum(a, b))
+    np.testing.assert_allclose(or_out, np.maximum(a, b))
+
+
+def test_scene_constant():
+    params = clevr.init_params(jax.random.PRNGKey(0), 4, 4, 3, hw=6)
+    att_b, _ = clevr.make_branches(params)
+    pre = {"img_find": jnp.zeros((2, 6, 4))}
+    out = np.asarray(att_b[0](pre, None, None, None, 0))
+    np.testing.assert_allclose(out, 3.0)  # SceneModule pos_val=3
+
+
+def test_vqa_coordinate_map():
+    img = jnp.zeros((1, 2, 3, 4))
+    with_coords = np.asarray(vqa.add_spatial_coordinate_map(img))
+    assert with_coords.shape == (1, 2, 3, 6)
+    # x map: linspace(-1, 1, W=3) per column
+    np.testing.assert_allclose(with_coords[0, 0, :, 4], [-1.0, 0.0, 1.0])
+    # y map: linspace(-1, 1, H=2) per row
+    np.testing.assert_allclose(with_coords[0, :, 0, 5], [-1.0, 1.0])
+
+
+def test_shapes_answer_head():
+    params = shapes.init_params(jax.random.PRNGKey(0), 8, 8, 2)
+    _, ans_b = shapes.make_branches(params)
+    att = jnp.asarray([[0.0, 6.0, 3.0]])
+    out = np.asarray(ans_b[0](None, None, att, None, 0))
+    expected = np.asarray(
+        jnp.asarray([[0.0, 3.0, 6.0]]) @ params["answer"]["fc_scores"]["w"]
+        + params["answer"]["fc_scores"]["b"])
+    np.testing.assert_allclose(out, expected, rtol=1e-6)
