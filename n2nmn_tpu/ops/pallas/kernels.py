@@ -29,36 +29,52 @@ _EPS = 1e-12
 # fused find: y[n, p] = sum_d normalize(img[n,p,:] * txt[n,:])[d] * w[d] + b
 # ---------------------------------------------------------------------------
 
+# TPU tiling wants the second-to-last block dim divisible by 8; tile the
+# batch in groups of _BN examples and pad when N % _BN != 0.
+_BN = 8
+
+
+def _pad_batch(x, n):
+    pad = (-n) % _BN
+    if pad == 0:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+
 def _find_fwd_kernel(img_ref, txt_ref, w_ref, b_ref, out_ref):
-    x = img_ref[0]                       # [HW, D]
-    t = txt_ref[:]                       # [1, D] -> broadcasts
-    e = x * t
-    sq = jnp.sum(e * e, axis=1, keepdims=True)       # [HW, 1]
+    x = img_ref[:]                       # [BN, HW, D]
+    t = txt_ref[:]                       # [BN, D]
+    e = x * t[:, None, :]
+    sq = jnp.sum(e * e, axis=2, keepdims=True)       # [BN, HW, 1]
     inv = jax.lax.rsqrt(jnp.maximum(sq, _EPS))
-    y = jnp.sum(e * inv * w_ref[:], axis=1) + b_ref[0, 0]
-    out_ref[0] = y
+    y = jnp.sum(e * inv * w_ref[:][None], axis=2) + b_ref[0, 0]
+    out_ref[:] = y
 
 
 def _find_forward(img_mapped, txt, w, b):
     n, hw, d = img_mapped.shape
-    return pl.pallas_call(
+    img_p, txt_p = _pad_batch(img_mapped, n), _pad_batch(txt, n)
+    np_ = img_p.shape[0]
+    out = pl.pallas_call(
         _find_fwd_kernel,
-        grid=(n,),
+        grid=(np_ // _BN,),
         in_specs=[
-            pl.BlockSpec((1, hw, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((_BN, hw, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i: (i, 0),
+            pl.BlockSpec((_BN, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, hw), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((_BN, hw), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, hw), img_mapped.dtype),
+        out_shape=jax.ShapeDtypeStruct((np_, hw), img_mapped.dtype),
         interpret=_interpret_mode(),
-    )(img_mapped, txt, w.reshape(1, d), b.reshape(1, 1))
+    )(img_p, txt_p, w.reshape(1, d), b.reshape(1, 1))
+    return out[:n]
 
 
 @jax.custom_vjp
@@ -98,31 +114,34 @@ fused_find.defvjp(_find_fwd, _find_bwd)
 # ---------------------------------------------------------------------------
 
 def _readout_fwd_kernel(att_ref, img_ref, out_ref):
-    a = att_ref[:]                        # [1, HW]
+    a = att_ref[:]                        # [BN, HW]
     m = jnp.max(a, axis=1, keepdims=True)
     ex = jnp.exp(a - m)
-    s = ex / jnp.sum(ex, axis=1, keepdims=True)       # [1, HW]
-    out_ref[:] = jnp.dot(s, img_ref[0],
-                         preferred_element_type=img_ref.dtype)
+    s = ex / jnp.sum(ex, axis=1, keepdims=True)       # [BN, HW]
+    # elementwise-mul + reduce (Mosaic rejects batched dot_general here)
+    out_ref[:] = jnp.sum(s[:, :, None] * img_ref[:], axis=1)
 
 
 def _readout_forward(att, img):
     n, hw = att.shape
     d = img.shape[2]
-    return pl.pallas_call(
+    att_p, img_p = _pad_batch(att, n), _pad_batch(img, n)
+    np_ = att_p.shape[0]
+    out = pl.pallas_call(
         _readout_fwd_kernel,
-        grid=(n,),
+        grid=(np_ // _BN,),
         in_specs=[
-            pl.BlockSpec((1, hw), lambda i: (i, 0),
+            pl.BlockSpec((_BN, hw), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hw, d), lambda i: (i, 0, 0),
+            pl.BlockSpec((_BN, hw, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, d), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((_BN, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, d), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((np_, d), img.dtype),
         interpret=_interpret_mode(),
-    )(att, img)
+    )(att_p, img_p)
+    return out[:n]
 
 
 @jax.custom_vjp
