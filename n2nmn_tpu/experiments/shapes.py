@@ -58,6 +58,7 @@ class ShapesConfig:
     log_interval: int = 20
     invalid_expr_loss: float = 3.0   # scratch mode only
     lambda_entropy: float = 0.5      # scratch mode only
+    learning_rate: float = 1e-3
     baseline_decay: float = 0.99
     seed: int = 0
     # Label-preserving augmentation (color-permutation x hflip); compensates
@@ -71,6 +72,17 @@ class ShapesConfig:
 def scratch_config(**overrides) -> ShapesConfig:
     cfg = ShapesConfig(exp_name="shapes_scratch", mode="scratch",
                        T_decoder=7, max_iter=400000)
+    return dataclasses.replace(cfg, **overrides)
+
+
+def rl_config(**overrides) -> ShapesConfig:
+    """Policy-search fine-tune from a cloning snapshot (no reference
+    SHAPES analogue; hyperparameters follow the CLEVR/VQA rl scripts:
+    lr 1e-4, lambda_entropy 0.005, invalid_expr_loss 0.5)."""
+    cfg = ShapesConfig(exp_name="shapes_rl_gt_layout", mode="scratch",
+                       invalid_expr_loss=0.5, lambda_entropy=0.005,
+                       learning_rate=1e-4, max_iter=10000,
+                       snapshot_interval=5000)
     return dataclasses.replace(cfg, **overrides)
 
 
@@ -138,7 +150,7 @@ def _stack_device_batches(data, N, with_gt):
     return jax.device_put(stacked), B
 
 
-def train(cfg: ShapesConfig):
+def train(cfg: ShapesConfig, pretrained_model=None):
     model, grammar = build_model(cfg, sampling=cfg.decoder_sampling,
                                  dropout=True)
     data = load_shapes_split(
@@ -164,7 +176,13 @@ def train(cfg: ShapesConfig):
 
     key = jax.random.PRNGKey(cfg.seed)
     params = model.init(key)
-    tx = make_optimizer(1e-3, cfg.max_grad_l2_norm)
+    if pretrained_model:
+        # warm start restores everything except the RL baseline
+        # (reference train_clevr_rl_gt_layout.py:177-179)
+        params, _ = load_params(pretrained_model, params)
+        print(f"restored pretrained model from {pretrained_model}",
+              flush=True)
+    tx = make_optimizer(cfg.learning_rate, cfg.max_grad_l2_norm)
     state = create_train_state(
         params, tx, jax.random.fold_in(key, 1),
         baseline_init=cfg.invalid_expr_loss if cfg.mode == "scratch" else 0.0)
