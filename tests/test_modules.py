@@ -77,3 +77,17 @@ def test_shapes_answer_head():
         jnp.asarray([[0.0, 3.0, 6.0]]) @ params["answer"]["fc_scores"]["w"]
         + params["answer"]["fc_scores"]["b"])
     np.testing.assert_allclose(out, expected, rtol=1e-6)
+
+
+def test_deconv_and_pool_shapes():
+    from n2nmn_tpu.ops.nn import (init_deconv, apply_deconv, max_pool,
+                                  init_conv, apply_conv)
+    key = jax.random.PRNGKey(0)
+    x = jnp.ones((2, 8, 8, 4))
+    p = init_deconv(key, 2, 4, 6)
+    y = apply_deconv(p, x, stride=2)
+    assert y.shape == (2, 16, 16, 6)
+    assert max_pool(x, 2, 2).shape == (2, 4, 4, 4)
+    # conv VALID path (shapes convnet uses it)
+    pc = init_conv(key, 3, 4, 5)
+    assert apply_conv(pc, x, stride=1, padding="VALID").shape == (2, 6, 6, 5)
