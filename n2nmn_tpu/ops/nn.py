@@ -96,9 +96,9 @@ def apply_1x1_conv(params, x):
 
 def init_deconv(key, kernel_size, input_dim, output_dim, bias=True,
                 dtype=jnp.float32):
-    """Transposed-conv params (reference util/cnn.py:42-73)."""
+    """Transposed-conv params (reference util/cnn.py:42-73); HWIO filter."""
     p = {"w": xavier_uniform_conv(
-        key, (kernel_size, kernel_size, output_dim, input_dim), dtype)}
+        key, (kernel_size, kernel_size, input_dim, output_dim), dtype)}
     if bias:
         p["b"] = jnp.zeros((output_dim,), dtype)
     return p
@@ -108,8 +108,7 @@ def apply_deconv(params, x, stride=2, padding="SAME"):
     """NHWC transposed convolution."""
     y = lax.conv_transpose(
         x, params["w"], strides=(stride, stride), padding=padding,
-        dimension_numbers=("NHWC", "HWOI", "NHWC"),
-        transpose_kernel=True)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if "b" in params:
         y = y + params["b"]
     return y
