@@ -67,6 +67,11 @@ class ShapesConfig:
     augment: bool = True
     # crash-resume from the latest full-state snapshot if present
     resume: bool = False
+    # decoder constraint mode: the reference SHAPES decoder is unmasked
+    # ("eos_force", models_shapes/nmn3_netgen_att.py); "grammar" applies
+    # the universal validity automaton (framework capability beyond the
+    # reference; guarantees valid layouts during policy search)
+    mask_mode: str = "eos_force"
 
 
 def scratch_config(**overrides) -> ShapesConfig:
@@ -105,7 +110,7 @@ def build_model(cfg: ShapesConfig, sampling: bool, dropout: bool):
         encoder_dropout=dropout and cfg.encoder_dropout,
         decoder_dropout=dropout and cfg.decoder_dropout,
         decoder_sampling=sampling,
-        mask_mode="eos_force",   # SHAPES decoder has no grammar mask
+        mask_mode=cfg.mask_mode,
     )
     model_cfg = NMNConfig(
         flavor="shapes", netgen=net_cfg, num_choices=cfg.num_choices,
