@@ -9,12 +9,15 @@ parser.add_argument("--gpu_id", type=int, default=0)
 parser.add_argument("--max_iter", type=int, default=None)
 parser.add_argument("--exp_name", type=str, default="shapes_scratch")
 parser.add_argument("--data_root", type=str, default=None)
+parser.add_argument("--mask_mode", type=str, default="eos_force",
+                    choices=["eos_force", "grammar"])
 parser.add_argument("--resume", action="store_true")
 args = parser.parse_args()
 
 from n2nmn_tpu.experiments import shapes
 
-overrides = {"exp_name": args.exp_name, "resume": args.resume}
+overrides = {"exp_name": args.exp_name, "resume": args.resume,
+             "mask_mode": args.mask_mode}
 if args.max_iter is not None:
     overrides["max_iter"] = args.max_iter
 if args.data_root is not None:
