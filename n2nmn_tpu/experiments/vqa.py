@@ -78,7 +78,7 @@ def v2_config(base=None, **overrides) -> VqaConfig:
     cfg = base or VqaConfig(exp_name="vqa2_gt_layout")
     cfg = dataclasses.replace(
         cfg, max_iter=80000,
-        imdb_trn="data/imdb_v2/imdb_v2_trainval2014.npy")
+        imdb_trn="data/imdb_vqa_v2/imdb_trainval2014.npy")
     return dataclasses.replace(cfg, **overrides)
 
 

@@ -79,4 +79,4 @@ def test_vqa_v2_defaults():
     c = vqa.v2_config()
     # reference train_vqa2_gt_layout.py differs only in max_iter + imdb
     assert c.max_iter == 80000
-    assert "v2" in c.imdb_trn
+    assert "vqa_v2" in c.imdb_trn
