@@ -58,3 +58,12 @@ def test_torchvision_conversion_layout():
     w_plain = np.transpose(sd["features.0.weight"], (2, 3, 1, 0))
     np.testing.assert_array_equal(
         np.asarray(params["conv1_1"]["w"]), w_plain[:, :, ::-1, :])
+
+
+def test_resnet152_res5c_shape():
+    from n2nmn_tpu.models import resnet
+    params = resnet.init_random(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 64, 64, 3))   # 64/32 = 2x2 grid (tiny smoke)
+    out = resnet.resnet152_res5c(params, x, compute_dtype=jnp.float32)
+    assert out.shape == (1, 2, 2, 2048)
+    assert out.dtype == jnp.float32
