@@ -205,6 +205,9 @@ def evaluate(cfg: ClevrConfig, exp_name, snapshot_name, test_split,
     answer_correct = layout_correct = layout_valid = num_questions = 0
     answer_word_list = loader.answer_dict.word_list
     output_answers = []
+    from collections import defaultdict
+    family_correct = defaultdict(int)
+    family_total = defaultdict(int)
 
     for batch in reader.batches():
         n = batch.pop("n_real")
@@ -226,8 +229,19 @@ def evaluate(cfg: ClevrConfig, exp_name, snapshot_name, test_split,
                                   gt[:t] == grammar.eos_idx)
             layout_correct += int(np.sum(np.all(match, axis=0)))
         if labels is not None:
-            answer_correct += int(np.sum(
-                np.logical_and(validity, preds == np.asarray(labels)[:n])))
+            correct = np.logical_and(validity,
+                                     preds == np.asarray(labels)[:n])
+            answer_correct += int(np.sum(correct))
+            if gt_layout is not None:
+                # per-program-family accuracy (family = gt layout without
+                # the <eos> padding)
+                for i in range(n):
+                    toks = gt_layout[:, i]
+                    fam = " ".join(
+                        grammar.module_names[t] for t in toks
+                        if t != grammar.eos_idx)
+                    family_total[fam] += 1
+                    family_correct[fam] += int(correct[i])
         output_answers += [answer_word_list[p] for p in preds]
 
     results = {
@@ -243,6 +257,12 @@ def evaluate(cfg: ClevrConfig, exp_name, snapshot_name, test_split,
     with open(save_file, "w") as f:
         for k, v in results.items():
             line = f"{k.replace('_', ' ')} = {v} on {test_split}"
+            print(line)
+            print(line, file=f)
+        for fam in sorted(family_total):
+            line = (f"  [{fam}] {family_correct[fam]}/"
+                    f"{family_total[fam]} = "
+                    f"{family_correct[fam] / family_total[fam]:.4f}")
             print(line)
             print(line, file=f)
     if save_eval_outputs:
