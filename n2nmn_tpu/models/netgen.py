@@ -191,13 +191,27 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
             if use_gt_layout:
                 predicted = gt_t
 
-            probs = jax.nn.softmax(token_scores) * validity_mult
-            probs = probs / jnp.sum(probs, axis=1, keepdims=True)
-            token_prob = jnp.take_along_axis(
-                probs, predicted[:, None], axis=1)[:, 0]
+            # Renormalized probabilities over the valid set. The reference
+            # computes softmax(scores)*valid / sum (nmn3_netgen_att.py:
+            # 245-247), which divides by zero once the valid tokens'
+            # softmax mass underflows (the invalid logits receive exactly
+            # zero gradient, so nothing anchors the scale — observed NaN
+            # blow-up in from-scratch policy search). The masked
+            # log-softmax below is the same function, computed stably:
+            # q_i = e^{s_i} / sum_valid e^{s_j}.
+            neg_inf = jnp.finfo(token_scores.dtype).min
+            logq = jax.nn.log_softmax(
+                jnp.where(token_validity, token_scores, neg_inf), axis=1)
+            probs = jnp.exp(logq)
+            token_logprob = jnp.take_along_axis(
+                logq, predicted[:, None], axis=1)[:, 0]
+            token_prob = jnp.exp(token_logprob)
+            # reference entropy: sum q*log(max(1e-5, q + (1-valid))) —
+            # invalid entries contribute 0; clamp in log space
             neg_ent = jnp.sum(
-                probs * jnp.log(jnp.maximum(
-                    1e-5, probs + (1.0 - validity_mult))), axis=1)
+                jnp.where(token_validity,
+                          probs * jnp.maximum(jnp.log(1e-5), logq),
+                          0.0), axis=1)
             final_token = predicted
             new_eos = prev_eos
         else:
@@ -209,28 +223,32 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
                 predicted = jnp.argmax(token_scores, axis=1).astype(jnp.int32)
             if use_gt_layout:
                 predicted = gt_t
-            probs = jax.nn.softmax(token_scores)
-            token_prob = jnp.take_along_axis(
-                probs, predicted[:, None], axis=1)[:, 0]
+            logp = jax.nn.log_softmax(token_scores, axis=1)
+            probs = jnp.exp(logp)
+            token_logprob = jnp.take_along_axis(
+                logp, predicted[:, None], axis=1)[:, 0]
+            token_prob = jnp.exp(token_logprob)
             neg_ent = jnp.sum(
-                probs * jnp.log(jnp.maximum(1e-5, probs)), axis=1)
+                probs * jnp.maximum(jnp.log(1e-5), logp), axis=1)
             final_token = jnp.where(prev_eos, eos_idx, predicted)
             token_prob = jnp.where(prev_eos, 1.0, token_prob)
+            token_logprob = jnp.where(prev_eos, 0.0, token_logprob)
             neg_ent = jnp.where(prev_eos, 0.0, neg_ent)
             new_eos = jnp.logical_or(prev_eos, predicted == eos_idx)
 
         X = jax.lax.stop_gradient(X + P[final_token])
         next_inp = dec_embed[final_token]
-        out = (final_token, token_prob, neg_ent, att)
+        out = (final_token, token_prob, token_logprob, neg_ent, att)
         return (((c, h), X, new_eos, next_inp, key), out)
 
     carry0 = ((c0, h0), X0, eos0, go, rng)
-    _, (tokens, token_probs, neg_ents, atts) = jax.lax.scan(
+    _, (tokens, token_probs, token_logprobs, neg_ents, atts) = jax.lax.scan(
         step, carry0, gt_layout)
 
     # word_vecs[t] = sum_te att[t, te] * embedded_question[te]
     word_vecs = jnp.einsum("ktn,tne->kne", atts, embedded_seq)
-    log_seq_prob = jnp.sum(jnp.log(token_probs), axis=0)
+    # summed in log space (stable vs log(prod of probs))
+    log_seq_prob = jnp.sum(token_logprobs, axis=0)
     neg_entropy = jnp.sum(neg_ents, axis=0)
 
     return NetgenOutput(
