@@ -1,19 +1,23 @@
-"""End-to-end eval throughput benchmark (flagship CLEVR config).
+"""End-to-end benchmark suite (flagship CLEVR config). Prints ONE JSON
+line; primary metric is fused eval throughput, plus:
 
-Measures questions/sec of the full fused question->answer program (LSTM
-encode, grammar-masked greedy layout decode T_dec=20, in-graph assembly,
-stack-machine module execution over the 10x15x512 grid) on the default
-device — the same workload the reference's eval loop runs in two
-partial_run phases with a host assembler round-trip per batch
-(reference exp_clevr/eval_clevr.py:93-165).
-
-Baseline: the reference publishes NO throughput numbers (SURVEY.md §6).
-TF1_GPU_BASELINE_QPS below is a reconstruction estimate for the TF1.0 +
-Fold single-GPU eval path (two device round-trips + host RPN assembly +
-Fold scheduling per 64-question batch, ~200ms/batch on contemporary
-hardware). vs_baseline = measured_qps / this estimate.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+- vs_baseline: measured against a reference-faithful two-phase
+  reconstruction run on THIS chip (n2nmn_tpu/tools/two_phase_baseline.py):
+  greedy decode program #1 -> host RPN assembler + schedule build ->
+  execution program #2, batch 64, per-question feature .npy disk loads on
+  a prefetch thread — the execution model of
+  reference exp_clevr/eval_clevr.py:93-165. Because the reconstruction's
+  device phases are XLA-compiled (not TF1.0+Fold dynamic graphs), the
+  measured quotient is a conservative lower bound on the true speedup;
+  the old TF1-GPU estimate (~300 q/s) is kept as tf1_estimate_qps for
+  reference only.
+- mfu: analytic XLA FLOP count per compiled step / measured time /
+  197 TFLOP/s bf16 peak (TPU v5e).
+- train_steps_per_sec_{cloning,rl}: fused train-step throughput at the
+  reference flagship config (N=64, T_dec=10, sampling on — reference
+  exp_clevr/train_clevr_gt_layout.py:23-44).
+- from_images_qps: raw 480x320 image -> VGG-16 pool5 -> module network in
+  ONE program (no 29 GB offline feature dump, reference README.md:57).
 """
 
 import json
@@ -24,16 +28,44 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-TF1_GPU_BASELINE_QPS = 300.0  # reconstruction estimate, see module docstring
+TF1_GPU_ESTIMATE_QPS = 300.0   # labeled estimate only; see module docstring
+V5E_BF16_PEAK_FLOPS = 197e12   # TPU v5e peak (bf16 MXU)
+
+BF16 = os.environ.get("N2NMN_BENCH_F32", "0") != "1"
 
 
-def main():
+def _cast_bf16(tree):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        tree)
+
+
+def _timeit(fn, args, iters):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _flops_of(jfn, args):
+    """Per-call FLOP count from XLA's compiled cost analysis."""
+    try:
+        ca = jfn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def bench_fused_eval():
     from __graft_entry__ import entry
+    from n2nmn_tpu.tools.flops import flagship_eval_flops_per_question
 
     fn, (params, text_seq, seq_length, image_feat, rng) = entry()
-
-    # realistic synthetic inputs at the throughput-optimal batch size for
-    # this chip (batch 256 saturates it; the reference eval used 64)
     n, t_enc = 256, text_seq.shape[0]
     key = jax.random.PRNGKey(0)
     text_seq = jax.random.randint(key, (t_enc, n), 0, 82, jnp.int32)
@@ -41,33 +73,205 @@ def main():
     image_feat = jax.random.normal(
         key, (n,) + image_feat.shape[1:], jnp.float32)
 
-    # bf16 serving mode by default: verified bit-identical greedy tokens
-    # and answers vs f32 on the trained synthetic-SHAPES model, +40%
-    # throughput. Set N2NMN_BENCH_F32=1 for the float32 path.
-    if os.environ.get("N2NMN_BENCH_F32", "0") != "1":
-        cast = lambda x: (x.astype(jnp.bfloat16)           # noqa: E731
-                          if x.dtype == jnp.float32 else x)
-        params = jax.tree_util.tree_map(cast, params)
+    # bf16 serving mode by default: greedy tokens and answer argmaxes
+    # verified identical to f32 on trained snapshots
+    # (tests/test_bf16_serving.py).
+    if BF16:
+        params = _cast_bf16(params)
         image_feat = image_feat.astype(jnp.bfloat16)
 
     jfn = jax.jit(fn)
-    # warmup / compile
-    out = jfn(params, text_seq, seq_length, image_feat, rng)
-    jax.block_until_ready(out)
+    args = (params, text_seq, seq_length, image_feat, rng)
+    dt = _timeit(jfn, args, iters=20)
+    # analytic FLOPs (XLA's cost_analysis counts scan bodies once instead
+    # of trip-count times — ~5x under on this scan-heavy program; kept as
+    # a secondary diagnostic)
+    flops_q = flagship_eval_flops_per_question(
+        _flagship_model().cfg.netgen, T_enc=t_enc)
+    xla_flops_q = _flops_of(jfn, args) / n
+    qps = n / dt
+    return qps, (flops_q * n / dt) / V5E_BF16_PEAK_FLOPS, flops_q, xla_flops_q
 
-    iters = 20
+
+def bench_two_phase_baseline():
+    """Reference execution model, float32 (the reference system is f32
+    TF1.0+Fold); params reused from the flagship entry() model."""
+    from __graft_entry__ import entry
+    from n2nmn_tpu.tools.two_phase_baseline import run_two_phase_baseline
+
+    fn, (params, *_) = entry()
+    model = _flagship_model()
+    full = run_two_phase_baseline(
+        model, params, feature_dir=".bench_cache/features",
+        num_questions=2048, batch_size=64)
+    # structure-only variant: features pre-staged on device, isolating the
+    # two-phase/host-assembly cost from this environment's host->device
+    # tunnel bandwidth (reported separately as h2d_mb_per_s)
+    dev = run_two_phase_baseline(
+        model, params, feature_dir=".bench_cache/features",
+        num_questions=2048, batch_size=64, device_features=True)
+    full["qps_device_feats"] = dev["qps"]
+    return full
+
+
+def measure_h2d_bandwidth(mb: int = 64):
+    """Host->device copy bandwidth of this environment (the axon-tunneled
+    chip is far below a local PCIe link; reported so the baseline's
+    feed-per-batch cost is interpretable)."""
+    x = np.random.randn(mb * 1024 * 1024 // 4).astype(np.float32)
+    jax.block_until_ready(jax.device_put(x))   # warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jfn(params, text_seq, seq_length, image_feat, rng)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    jax.block_until_ready(jax.device_put(x))
+    return mb / (time.perf_counter() - t0)
 
-    qps = n * iters / dt
+
+def _flagship_model():
+    """Same model construction as entry() (flagship CLEVR eval config)."""
+    from n2nmn_tpu.layout.grammar import ModuleGrammar
+    from n2nmn_tpu.models.netgen import NetgenConfig
+    from n2nmn_tpu.models.nmn import NMNConfig, NMNModel
+
+    vocab = ["_Scene", "_Find", "_Filter", "_FindSameProperty",
+             "_Transform", "_And", "_Or", "_Exist", "_Count",
+             "_EqualNum", "_MoreNum", "_LessNum", "_SameProperty",
+             "_Describe", "<eos>"]
+    grammar = ModuleGrammar(vocab)
+    net_cfg = NetgenConfig(
+        num_vocab_txt=82, embed_dim_txt=300, num_vocab_nmn=grammar.num_vocab,
+        embed_dim_nmn=300, lstm_dim=512, num_layers=2, T_decoder=20,
+        decoder_sampling=False, mask_mode="grammar")
+    cfg = NMNConfig(flavor="clevr", netgen=net_cfg, num_choices=28,
+                    H_feat=10, W_feat=15, D_feat=512)
+    return NMNModel(cfg, grammar)
+
+
+def bench_train_steps():
+    """Fused train-step throughput at the reference flagship train config
+    (N=64, T_dec=10, sampling on: train_clevr_gt_layout.py:23-44)."""
+    import dataclasses
+    from n2nmn_tpu.train.optim import make_optimizer
+    from n2nmn_tpu.train.steps import (
+        create_train_state, make_cloning_step, make_rl_step)
+
+    model = _flagship_model()
+    net_cfg = dataclasses.replace(model.cfg.netgen, T_decoder=10,
+                                  decoder_sampling=True)
+    cfg = dataclasses.replace(model.cfg, netgen=net_cfg)
+    from n2nmn_tpu.models.nmn import NMNModel
+    model = NMNModel(cfg, model.grammar)
+
+    key = jax.random.PRNGKey(0)
+    params = model.init(key)
+    tx = make_optimizer(1e-3, max_grad_l2_norm=10.0)
+
+    n, t_enc = 64, 45
+    rng_np = np.random.RandomState(0)
+    batch = {
+        "text_seq": rng_np.randint(0, 82, size=(t_enc, n)).astype(np.int32),
+        "seq_length": np.full((n,), t_enc, np.int32),
+        "image": rng_np.randn(n, 10, 15, 512).astype(np.float32),
+        "label": rng_np.randint(0, 28, size=(n,)).astype(np.int32),
+        "gt_layout": np.full((10, n), model.grammar.eos_idx, np.int32),
+        "weight": np.ones((n,), np.float32),
+    }
+    # device-resident batch: training feeds batches via the prefetching
+    # reader / chunked device-resident trainer, not a synchronous
+    # host->device copy per step (train/steps.py:make_chunked_trainer)
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+    out = {}
+    for name, step in (
+            ("cloning", make_cloning_step(model, tx, weight_decay=5e-6)),
+            ("rl", make_rl_step(model, tx, weight_decay=5e-6,
+                                lambda_entropy=0.005,
+                                invalid_expr_loss=0.5))):
+        b = dict(batch)
+        if name == "rl":
+            b.pop("gt_layout")
+        state = create_train_state(params, tx, jax.random.fold_in(key, 1))
+        state, _ = step(state, b)          # compile
+        jax.block_until_ready(state.params)
+        iters = 30
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, _ = step(state, b)
+        jax.block_until_ready(state.params)
+        out[name] = iters / (time.perf_counter() - t0)
+    return out
+
+
+def bench_from_images():
+    """Image->answer in one program: raw 480x320 BGR batch -> on-device
+    VGG-16 pool5 -> grammar decode -> module execution."""
+    import dataclasses
+    from n2nmn_tpu.models.nmn import NMNModel
+
+    base = _flagship_model()
+    cfg = dataclasses.replace(base.cfg, in_graph_vgg=True)
+    model = NMNModel(cfg, base.grammar)
+    params = model.init(jax.random.PRNGKey(0))
+
+    n, t_enc = 32, 45
+    key = jax.random.PRNGKey(0)
+    text_seq = jax.random.randint(key, (t_enc, n), 0, 82, jnp.int32)
+    seq_length = jnp.full((n,), t_enc, jnp.int32)
+    images = jax.random.uniform(key, (n, 320, 480, 3), jnp.float32) * 255.0
+    rng = jax.random.PRNGKey(1)
+
+    if BF16:
+        params = _cast_bf16(params)
+
+    @jax.jit
+    def fn(params, text_seq, seq_length, images, rng):
+        out = model.apply(params, text_seq, seq_length, images, rng,
+                          use_gt_layout=False, deterministic=True)
+        return out.scores, out.tokens, out.validity
+
+    from n2nmn_tpu.tools.flops import flagship_eval_flops_per_question
+    args = (params, text_seq, seq_length, images, rng)
+    dt = _timeit(fn, args, iters=10)
+    flops_q = flagship_eval_flops_per_question(
+        cfg.netgen, T_enc=t_enc, from_images=True)
+    return n / dt, (flops_q * n / dt) / V5E_BF16_PEAK_FLOPS
+
+
+def main():
+    qps, mfu, flops_per_q, xla_flops_q = bench_fused_eval()
+    baseline = bench_two_phase_baseline()
+    train = bench_train_steps()
+    img_qps, img_mfu = bench_from_images()
+    h2d = measure_h2d_bandwidth()
+
     print(json.dumps({
         "metric": "clevr_eval_throughput",
         "value": round(qps, 2),
         "unit": "questions/sec",
-        "vs_baseline": round(qps / TF1_GPU_BASELINE_QPS, 2),
+        "vs_baseline": round(qps / baseline["qps"], 2),
+        "baseline_qps": round(baseline["qps"], 2),
+        "baseline_method": (
+            "measured two-phase reconstruction of the reference eval loop "
+            "(decode program -> host RPN assemble -> execute program, "
+            "batch 64, per-question .npy disk loads w/ prefetch thread, "
+            "feed_dict-style feature upload per batch; "
+            "exp_clevr/eval_clevr.py:93-165) on this chip; conservative — "
+            "its device phases are XLA, not TF1+Fold"),
+        "baseline_qps_device_feats": round(
+            baseline["qps_device_feats"], 2),
+        "baseline_host_assemble_s": round(baseline["host_assemble_s"], 3),
+        "baseline_device_s": round(baseline["device_and_fetch_s"], 3),
+        "baseline_total_s": round(baseline["total_s"], 3),
+        "h2d_mb_per_s": round(h2d, 1),
+        "tf1_estimate_qps": TF1_GPU_ESTIMATE_QPS,
+        "mfu": round(mfu, 4),
+        "flops_per_question_gflop": round(flops_per_q / 1e9, 3),
+        "flops_method": "analytic (tools/flops.py); XLA cost_analysis "
+                        "counts scan bodies once and under-reports",
+        "xla_flops_per_question_gflop": round(xla_flops_q / 1e9, 3),
+        "train_steps_per_sec_cloning": round(train["cloning"], 2),
+        "train_steps_per_sec_rl": round(train["rl"], 2),
+        "train_batch_size": 64,
+        "from_images_qps": round(img_qps, 2),
+        "from_images_mfu": round(img_mfu, 4),
+        "dtype": "bfloat16" if BF16 else "float32",
     }))
 
 

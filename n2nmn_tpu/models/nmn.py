@@ -134,6 +134,13 @@ class NMNModel:
         if cfg.reduce_visfeat_dim:
             image_feat = apply_1x1_conv(params["reduce_visfeat"], image_feat)
 
+        # serving compute dtype follows the module params (bf16 params =>
+        # bf16 module math), so in-graph backbones can emit f32 grids
+        mod_dtype = jax.tree_util.tree_leaves(params["modules"])[0].dtype
+        if (image_feat.dtype != mod_dtype
+                and jnp.issubdtype(image_feat.dtype, jnp.floating)):
+            image_feat = image_feat.astype(mod_dtype)
+
         pre_static, pre_step = self.lib.precompute(
             params["modules"], image_feat, net_out.word_vecs)
         att_branches, ans_branches = self.lib.make_branches(params["modules"])
