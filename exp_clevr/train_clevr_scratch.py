@@ -7,13 +7,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 parser = argparse.ArgumentParser()
 parser.add_argument("--gpu_id", type=int, default=0)
 parser.add_argument("--max_iter", type=int, default=None)
+parser.add_argument("--seed", type=int, default=0)
 parser.add_argument("--exp_name", type=str, default="clevr_scratch")
 parser.add_argument("--data_root", type=str, default=None)
 args = parser.parse_args()
 
 from n2nmn_tpu.experiments import clevr
 
-overrides = {"exp_name": args.exp_name}
+overrides = {"exp_name": args.exp_name, "seed": args.seed}
 if args.max_iter is not None:
     overrides["max_iter"] = args.max_iter
 if args.data_root is not None:

@@ -11,6 +11,7 @@ parser.add_argument(
     "--pretrained_model", type=str,
     default="./exp_shapes/tfmodel/shapes_gt_layout/00040000")
 parser.add_argument("--max_iter", type=int, default=None)
+parser.add_argument("--seed", type=int, default=0)
 parser.add_argument("--exp_name", type=str, default="shapes_rl_gt_layout")
 parser.add_argument("--data_root", type=str, default=None)
 parser.add_argument("--resume", action="store_true")
@@ -18,7 +19,8 @@ args = parser.parse_args()
 
 from n2nmn_tpu.experiments import shapes
 
-overrides = {"exp_name": args.exp_name, "resume": args.resume}
+overrides = {"exp_name": args.exp_name, "resume": args.resume,
+             "seed": args.seed}
 if args.max_iter is not None:
     overrides["max_iter"] = args.max_iter
 if args.data_root is not None:

@@ -100,12 +100,33 @@ def build_model(cfg: ClevrConfig, sampling: bool, T_decoder: int = None):
     return NMNModel(model_cfg, grammar), grammar
 
 
+def _load_imdb(cfg: ClevrConfig, imdb_file):
+    path = (os.path.join(cfg.root, imdb_file)
+            if not os.path.isabs(imdb_file) else imdb_file)
+    return np.load(path, allow_pickle=True)
+
+
+def infer_feature_dims(cfg: ClevrConfig, imdb) -> ClevrConfig:
+    """Sync the model's feature-grid dims to the dataset's actual feature
+    shape (peeked from the first record, like the reference data reader's
+    shape probe — clevr_train/data_reader.py:38-39). Makes the standard
+    drivers work on any feature grid via --data_root (e.g. mini-CLEVR's
+    4x4x16) without a config fork."""
+    from n2nmn_tpu.data.imdb import FeatureSource
+    h, w, d = FeatureSource(imdb, cfg.packed_features).feat_shape
+    if (h, w, d) != (cfg.H_feat, cfg.W_feat, cfg.D_feat):
+        cfg = dataclasses.replace(cfg, H_feat=h, W_feat=w, D_feat=d)
+    return cfg
+
+
 def make_reader(cfg: ClevrConfig, imdb_file, grammar, shuffle=True,
                 one_pass=False, load_gt_layout=None, T_decoder=None):
+    imdb = (imdb_file if not isinstance(imdb_file, str)
+            else _load_imdb(cfg, imdb_file))
     return DataReader(
-        os.path.join(cfg.root, imdb_file)
-        if not os.path.isabs(imdb_file) else imdb_file,
+        imdb,
         shuffle=shuffle, one_pass=one_pass, batch_size=cfg.N,
+        seed=cfg.seed,
         vocab_question_file=os.path.join(cfg.root, "data",
                                          "vocabulary_clevr.txt"),
         vocab_answer_file=os.path.join(cfg.root, "data",
@@ -119,8 +140,10 @@ def make_reader(cfg: ClevrConfig, imdb_file, grammar, shuffle=True,
 
 def train(cfg: ClevrConfig, pretrained_model: Optional[str] = None):
     use_gt = cfg.mode == "cloning"
+    imdb = _load_imdb(cfg, cfg.imdb_trn)
+    cfg = infer_feature_dims(cfg, imdb)
     model, grammar = build_model(cfg, sampling=cfg.decoder_sampling)
-    reader = make_reader(cfg, cfg.imdb_trn, grammar,
+    reader = make_reader(cfg, imdb, grammar,
                          load_gt_layout=use_gt or None)
 
     key = jax.random.PRNGKey(cfg.seed)
@@ -189,9 +212,10 @@ def evaluate(cfg: ClevrConfig, exp_name, snapshot_name, test_split,
     """Greedy eval at T_decoder=20 (reference eval_clevr.py:26-36);
     reports answer/layout accuracy + validity, writes the one-answer-per-
     line prediction file for the CLEVR grader."""
+    imdb = _load_imdb(cfg, f"data/imdb/imdb_{test_split}.npy")
+    cfg = infer_feature_dims(cfg, imdb)
     model, grammar = build_model(cfg, sampling=False, T_decoder=T_decoder)
-    imdb_file = f"data/imdb/imdb_{test_split}.npy"
-    reader = make_reader(cfg, imdb_file, grammar, shuffle=False,
+    reader = make_reader(cfg, imdb, grammar, shuffle=False,
                          one_pass=True, T_decoder=T_decoder)
     loader = reader.batch_loader
 
