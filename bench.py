@@ -73,9 +73,11 @@ def bench_fused_eval():
     image_feat = jax.random.normal(
         key, (n,) + image_feat.shape[1:], jnp.float32)
 
-    # bf16 serving mode by default: greedy tokens and answer argmaxes
-    # verified identical to f32 on trained snapshots
-    # (tests/test_bf16_serving.py).
+    # bf16 serving mode by default. Verified on trained snapshots
+    # (tools/bf16_check.py artifacts in exp_clevr_mini/results/):
+    # layout tokens + validity EXACTLY identical to f32; answer argmaxes
+    # 99.4-99.95% identical (boundary ties) with answer accuracy equal to
+    # 4 decimals. Synthetic-SHAPES model: fully bit-identical.
     if BF16:
         params = _cast_bf16(params)
         image_feat = image_feat.astype(jnp.bfloat16)
