@@ -11,6 +11,14 @@ parser.add_argument("--test_split", required=True)
 parser.add_argument("--gpu_id", type=int, default=0)
 parser.add_argument("--T_decoder", type=int, default=20)
 parser.add_argument("--data_root", type=str, default=None)
+parser.add_argument("--from_images", action="store_true",
+                    help="raw image -> in-graph VGG pool5 -> answer in ONE "
+                         "program (no offline feature dump)")
+parser.add_argument("--vgg_weights", type=str, default=None,
+                    help="converted VGG-16 weights (.npz or torchvision "
+                         ".pth) for --from_images")
+parser.add_argument("--image_H", type=int, default=320)
+parser.add_argument("--image_W", type=int, default=480)
 args = parser.parse_args()
 
 import dataclasses
@@ -19,5 +27,9 @@ from n2nmn_tpu.experiments import clevr
 cfg = clevr.ClevrConfig()
 if args.data_root is not None:
     cfg = dataclasses.replace(cfg, root=args.data_root)
+if args.from_images:
+    cfg = dataclasses.replace(cfg, from_images=True,
+                              vgg_weights=args.vgg_weights,
+                              image_H=args.image_H, image_W=args.image_W)
 clevr.evaluate(cfg, args.exp_name, args.snapshot_name, args.test_split,
                T_decoder=args.T_decoder)

@@ -10,6 +10,12 @@ parser.add_argument("--max_iter", type=int, default=None)
 parser.add_argument("--seed", type=int, default=0)
 parser.add_argument("--exp_name", type=str, default="clevr_gt_layout")
 parser.add_argument("--data_root", type=str, default=None)
+parser.add_argument("--from_images", action="store_true",
+                    help="train on raw images via in-graph frozen VGG "
+                         "pool5 (no offline feature dump)")
+parser.add_argument("--vgg_weights", type=str, default=None)
+parser.add_argument("--image_H", type=int, default=320)
+parser.add_argument("--image_W", type=int, default=480)
 args = parser.parse_args()
 
 import dataclasses
@@ -20,4 +26,8 @@ if args.max_iter is not None:
     cfg = dataclasses.replace(cfg, max_iter=args.max_iter)
 if args.data_root is not None:
     cfg = dataclasses.replace(cfg, root=args.data_root)
+if args.from_images:
+    cfg = dataclasses.replace(cfg, from_images=True,
+                              vgg_weights=args.vgg_weights,
+                              image_H=args.image_H, image_W=args.image_W)
 clevr.train(cfg)

@@ -101,13 +101,49 @@ class FeatureSource:
         return out
 
 
+class RawImageSource:
+    """Per-example RAW image access for the end-to-end image->answer mode
+    (in-graph VGG pool5; replaces the reference's offline 29 GB feature
+    dump, exp_clevr/data/extract_visual_features_vgg_pool5.py:23-55).
+
+    Emits [H, W, 3] float32 0-255 BGR — the layout the reference feeds
+    its VGG (vgg_net.py:16-20; its extractor reads RGB and flips to BGR).
+    Supports .npy image files (assumed already BGR 0-255) and standard
+    image formats via PIL (read RGB, flipped to BGR here).
+    """
+
+    def __init__(self, imdb, image_shape):
+        self.feat_shape = tuple(image_shape) + (3,)
+
+    def _load(self, path):
+        if path.endswith(".npy"):
+            img = np.load(path).astype(np.float32)
+        else:
+            from PIL import Image
+            with Image.open(path) as im:
+                img = np.asarray(im.convert("RGB"), np.float32)
+            img = img[:, :, ::-1]  # RGB -> BGR
+        h, w, _ = self.feat_shape
+        if img.shape[:2] != (h, w):
+            from PIL import Image
+            im = Image.fromarray(img[:, :, ::-1].astype(np.uint8))
+            img = np.asarray(im.resize((w, h)), np.float32)[:, :, ::-1]
+        return img
+
+    def get_batch(self, recs, out):
+        for n, rec in enumerate(recs):
+            out[n] = self._load(rec["image_path"])
+        return out
+
+
 class BatchLoader:
     """Assembles one padded batch from imdb records (CLEVR flavor)."""
 
     def __init__(self, imdb, vocab_question_file, vocab_answer_file,
                  T_encoder, T_decoder=None, grammar=None,
                  prune_filter_module=False, load_gt_layout=None,
-                 packed_feature_file=None, batch_size=None):
+                 packed_feature_file=None, batch_size=None,
+                 raw_images=False, image_shape=(320, 480)):
         self.imdb = imdb
         self.vocab_dict = VocabDict(vocab_question_file)
         self.answer_dict = VocabDict(vocab_answer_file)
@@ -122,7 +158,10 @@ class BatchLoader:
         self.load_gt_layout = (
             load_gt_layout if load_gt_layout is not None
             else rec0.get("gt_layout_tokens") is not None)
-        self.features = FeatureSource(imdb, packed_feature_file)
+        if raw_images:
+            self.features = RawImageSource(imdb, image_shape)
+        else:
+            self.features = FeatureSource(imdb, packed_feature_file)
         self.feat_H, self.feat_W, self.feat_D = self.features.feat_shape
 
     def load_one_batch(self, sample_ids):

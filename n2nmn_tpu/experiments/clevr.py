@@ -61,6 +61,17 @@ class ClevrConfig:
     imdb_trn: str = "data/imdb/imdb_trn.npy"
     imdb_tst: str = "data/imdb/imdb_val.npy"
     packed_features: Optional[str] = None
+    # end-to-end image->answer: raw images -> in-graph VGG pool5 ->
+    # modules in ONE program (no offline feature dump — replaces
+    # reference exp_clevr/data/extract_visual_features_vgg_pool5.py +
+    # README.md:57's 29 GB artifact). image_H/W are the raw input size;
+    # the module grid becomes (image_H/32, image_W/32, 512).
+    from_images: bool = False
+    image_H: int = 320
+    image_W: int = 480
+    # converted VGG-16 weights (.npz from models/vgg_convert.py, or a
+    # torchvision .pth); loaded into params['vgg'] for from_images runs
+    vgg_weights: Optional[str] = None
 
 
 def rl_config(**overrides) -> ClevrConfig:
@@ -94,9 +105,15 @@ def build_model(cfg: ClevrConfig, sampling: bool, T_decoder: int = None):
         decoder_dropout=cfg.decoder_dropout,
         decoder_sampling=sampling,
         mask_mode="grammar")
-    model_cfg = NMNConfig(
-        flavor="clevr", netgen=net_cfg, num_choices=num_choices,
-        H_feat=cfg.H_feat, W_feat=cfg.W_feat, D_feat=cfg.D_feat)
+    if cfg.from_images:
+        model_cfg = NMNConfig(
+            flavor="clevr", netgen=net_cfg, num_choices=num_choices,
+            H_feat=cfg.image_H // 32, W_feat=cfg.image_W // 32,
+            D_feat=512, in_graph_vgg=True)
+    else:
+        model_cfg = NMNConfig(
+            flavor="clevr", netgen=net_cfg, num_choices=num_choices,
+            H_feat=cfg.H_feat, W_feat=cfg.W_feat, D_feat=cfg.D_feat)
     return NMNModel(model_cfg, grammar), grammar
 
 
@@ -135,19 +152,37 @@ def make_reader(cfg: ClevrConfig, imdb_file, grammar, shuffle=True,
         grammar=grammar,
         prune_filter_module=cfg.prune_filter_module,
         load_gt_layout=load_gt_layout,
-        packed_feature_file=cfg.packed_features)
+        packed_feature_file=cfg.packed_features,
+        raw_images=cfg.from_images,
+        image_shape=(cfg.image_H, cfg.image_W))
+
+
+def _load_vgg_weights(cfg: ClevrConfig, params):
+    """Install converted VGG-16 weights into params['vgg'] (from_images
+    mode; replaces the reference's offline extractor checkpoint,
+    exp_clevr/data/extract_visual_features_vgg_pool5.py:23-30)."""
+    from n2nmn_tpu.models import vgg_convert
+    if cfg.vgg_weights.endswith(".npz"):
+        params["vgg"] = vgg_convert.from_npz(cfg.vgg_weights)
+    else:
+        params["vgg"] = vgg_convert.from_torchvision_file(cfg.vgg_weights)
+    print(f"loaded VGG-16 weights from {cfg.vgg_weights}")
+    return params
 
 
 def train(cfg: ClevrConfig, pretrained_model: Optional[str] = None):
     use_gt = cfg.mode == "cloning"
     imdb = _load_imdb(cfg, cfg.imdb_trn)
-    cfg = infer_feature_dims(cfg, imdb)
+    if not cfg.from_images:
+        cfg = infer_feature_dims(cfg, imdb)
     model, grammar = build_model(cfg, sampling=cfg.decoder_sampling)
     reader = make_reader(cfg, imdb, grammar,
                          load_gt_layout=use_gt or None)
 
     key = jax.random.PRNGKey(cfg.seed)
     params = model.init(key)
+    if cfg.from_images and cfg.vgg_weights:
+        params = _load_vgg_weights(cfg, params)
     if pretrained_model:
         # warm start: restore everything except the RL baseline
         # (reference train_clevr_rl_gt_layout.py:177-179)
@@ -213,7 +248,8 @@ def evaluate(cfg: ClevrConfig, exp_name, snapshot_name, test_split,
     reports answer/layout accuracy + validity, writes the one-answer-per-
     line prediction file for the CLEVR grader."""
     imdb = _load_imdb(cfg, f"data/imdb/imdb_{test_split}.npy")
-    cfg = infer_feature_dims(cfg, imdb)
+    if not cfg.from_images:
+        cfg = infer_feature_dims(cfg, imdb)
     model, grammar = build_model(cfg, sampling=False, T_decoder=T_decoder)
     reader = make_reader(cfg, imdb, grammar, shuffle=False,
                          one_pass=True, T_decoder=T_decoder)
@@ -222,7 +258,12 @@ def evaluate(cfg: ClevrConfig, exp_name, snapshot_name, test_split,
     params_t = model.init(jax.random.PRNGKey(0))
     snapshot_file = os.path.join(cfg.root, "tfmodel", exp_name,
                                  snapshot_name)
+    # a from_images eval can restore a snapshot trained on feature grids:
+    # such a snapshot has no 'vgg' subtree, so partial restore leaves the
+    # backbone at its init and _load_vgg_weights below installs it
     params, _ = load_params(snapshot_file, params_t)
+    if cfg.from_images and cfg.vgg_weights:
+        params = _load_vgg_weights(cfg, params)
     eval_step = make_eval_step(model)
     rng = jax.random.PRNGKey(0)
 

@@ -97,11 +97,16 @@ def precompute(params, image_feat, word_vecs):
         "h": h, "w": w,
     }
     pre_step = {
-        "txt_find": txt(params["find"]["fc_text"]),
         "txt_fsp": txt(params["find_same_property"]["fc_text"]),
         "txt_tfm": txt(params["transform"]["text_fc"]),
         "txt_sp": txt(params["same_property"]["fc_text"]),
         "txt_desc": txt(params["describe"]["fc_text"]),
+        # _Find is stack-independent: hoist its whole [T, N, HW] output out
+        # of the executor scan (one batched MXU pass instead of re-reading
+        # img_find every step)
+        "att_find": common.find_core_all(
+            pre_static["img_find"], txt(params["find"]["fc_text"]),
+            params["find"]["conv_eltwise"]),
     }
     return pre_static, pre_step
 
@@ -115,11 +120,10 @@ def make_branches(params):
         return jnp.full((n, hw), SCENE_POS_VAL, pre["img_find"].dtype)
 
     def find(pre, pre_t, in0, in1, t):
-        return common.find_core(pre["img_find"], pre_t["txt_find"],
-                                params["find"]["conv_eltwise"])
+        return pre_t["att_find"]
 
     def filter_(pre, pre_t, in0, in1, t):
-        return jnp.minimum(in0, find(pre, pre_t, in0, in1, t))
+        return jnp.minimum(in0, pre_t["att_find"])
 
     def find_same_property(pre, pre_t, in0, in1, t):
         p = params["find_same_property"]

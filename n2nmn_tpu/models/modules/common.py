@@ -44,6 +44,37 @@ def find_core(img_mapped, txt_mapped, proj):
     return project_to_att(elt, proj)
 
 
+def find_core_all(img_mapped, txt_steps, proj, eps=1e-12):
+    """find_core for ALL decoder steps in one pass: -> [T, N, HW].
+
+    _Find reads only the image grid and the step's text vector — never the
+    stack (reference FindModule, models_clevr/nmn3_modules.py:74-111) — so
+    its output for every decoder step can be hoisted out of the executor
+    scan. The l2norm+project is reassociated into two MXU contractions:
+    with y = l2norm(img ⊙ txt, axis=d) and out = y @ w + b,
+
+        out[t,n,p] = (Σ_d img[n,p,d]·txt[t,n,d]·w[d])
+                     · rsqrt(max(Σ_d img[n,p,d]²·txt[t,n,d]², eps)) + b
+
+    i.e. per example a [HW, D] @ [D, T] matmul pair, reading img_mapped
+    once per batch instead of once per decoder step (the in-scan form
+    re-reads the [N, HW, D] tensor every step). HIGHEST precision keeps
+    the f32 training math equivalent to the elementwise form (TPU f32
+    matmuls otherwise accumulate in reduced precision); the FLOPs here are
+    negligible next to the encoder/decoder LSTMs.
+
+    img_mapped: [N, HW, D]; txt_steps: [T, N, D]; proj {'w': [D,1],
+    'b': [1]}.
+    """
+    w = proj["w"][:, 0]
+    num = jnp.einsum("npd,tnd->tnp", img_mapped, txt_steps * w,
+                     precision=jax.lax.Precision.HIGHEST)
+    den = jnp.einsum("npd,tnd->tnp", jnp.square(img_mapped),
+                     jnp.square(txt_steps),
+                     precision=jax.lax.Precision.HIGHEST)
+    return num * jax.lax.rsqrt(jnp.maximum(den, eps)) + proj["b"][0]
+
+
 def att_softmax_readout(att_flat, image_feat):
     """softmax(att) over the grid, then attention-weighted feature readout
     (reference FindSamePropertyModule, nmn3_modules.py:170-174).

@@ -58,7 +58,11 @@ def precompute(params, image_feat, word_vecs):
     txt_tfm = (wv_flat @ params["transform"]["text_fc"]["w"]
                + params["transform"]["text_fc"]["b"]).reshape(t, n, -1)
     pre_static = {"img_find": img_mapped, "h": h, "w": w}
-    pre_step = {"txt_find": txt_find, "txt_tfm": txt_tfm}
+    # _Find is stack-independent: hoist all T steps out of the executor
+    # scan (see common.find_core_all)
+    att_find = common.find_core_all(img_mapped, txt_find,
+                                    params["find"]["conv_eltwise"])
+    pre_step = {"att_find": att_find, "txt_tfm": txt_tfm}
     return pre_static, pre_step
 
 
@@ -66,8 +70,7 @@ def make_branches(params):
     """Branch fns (pre_static, pre_t, in0, in1, t) -> [N, HW] / [N, C]."""
 
     def find(pre, pre_t, in0, in1, t):
-        return common.find_core(pre["img_find"], pre_t["txt_find"],
-                                params["find"]["conv_eltwise"])
+        return pre_t["att_find"]
 
     def transform(pre, pre_t, in0, in1, t):
         maps = common.conv_on_attention(in0, params["transform"]["conv_maps"],

@@ -95,9 +95,13 @@ def precompute(params, image_feat, word_vecs, encoder_states=None):
         p = params["describe"]["fc_encoder_states"]
         pre_static["enc_mapped"] = encoder_states @ p["w"] + p["b"]
     pre_step = {
-        "txt_find": txt(params["find"]["fc_text"]),
         "txt_tfm": txt(params["transform"]["fc_text"]),
         "txt_desc": txt(params["describe"]["fc_text"]),
+        # _Find is stack-independent: hoist all T steps out of the
+        # executor scan (see common.find_core_all)
+        "att_find": common.find_core_all(
+            pre_static["img_find"], txt(params["find"]["fc_text"]),
+            params["find"]["conv_eltwise"]),
     }
     return pre_static, pre_step
 
@@ -107,8 +111,7 @@ def make_branches(params):
         return x @ p["w"] + p["b"]
 
     def find(pre, pre_t, in0, in1, t):
-        return common.find_core(pre["img_find"], pre_t["txt_find"],
-                                params["find"]["conv_eltwise"])
+        return pre_t["att_find"]
 
     def transform(pre, pre_t, in0, in1, t):
         p = params["transform"]

@@ -45,6 +45,11 @@ class NMNConfig:
     D_feat: int                    # channels of the module-visible grid
     in_graph_cnn: bool = False     # SHAPES: images -> convnet in-graph
     in_graph_vgg: bool = False     # CLEVR: raw images -> VGG pool5 in-graph
+    # The reference's VGG is frozen by construction (features are dumped
+    # offline, exp_clevr/data/extract_visual_features_vgg_pool5.py); keep
+    # that contract in-graph: stop gradients at pool5 and exclude the
+    # backbone from L2 decay (train/steps.py). Set False to fine-tune.
+    freeze_vgg: bool = True
     use_qpn: bool = False
     qpn_dropout: bool = False
     reduce_visfeat_dim: bool = False
@@ -129,6 +134,8 @@ class NMNModel:
                                                   image_input)
         elif cfg.in_graph_vgg:
             image_feat = backbones.vgg16_pool5(params["vgg"], image_input)
+            if cfg.freeze_vgg:
+                image_feat = jax.lax.stop_gradient(image_feat)
         else:
             image_feat = image_input
         if cfg.reduce_visfeat_dim:

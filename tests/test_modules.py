@@ -32,6 +32,33 @@ def test_find_core_hand_value():
     np.testing.assert_allclose(out, [[1.1, 1.5]], rtol=1e-6)
 
 
+def test_find_core_all_matches_per_step():
+    """The hoisted all-steps matmul form must reproduce the per-step
+    elementwise find_core (same math, reassociated)."""
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    T, N, HW, D = 5, 4, 12, 16
+    img = jax.random.normal(k1, (N, HW, D))
+    txt = jax.random.normal(k2, (T, N, D))
+    proj = {"w": jax.random.normal(k3, (D, 1)), "b": jnp.asarray([0.25])}
+    all_steps = np.asarray(common.find_core_all(img, txt, proj))
+    assert all_steps.shape == (T, N, HW)
+    for t in range(T):
+        ref = np.asarray(common.find_core(img, txt[t], proj))
+        np.testing.assert_allclose(all_steps[t], ref, rtol=1e-5, atol=1e-6)
+
+
+def test_find_core_all_zero_image_is_finite():
+    """eps guard: an all-zero image row must not produce inf/nan (matches
+    l2_normalize's max(sum_sq, eps) semantics)."""
+    img = jnp.zeros((1, 3, 4))
+    txt = jnp.ones((2, 1, 4))
+    proj = {"w": jnp.ones((4, 1)), "b": jnp.asarray([0.5])}
+    out = np.asarray(common.find_core_all(img, txt, proj))
+    assert np.all(np.isfinite(out))
+    np.testing.assert_allclose(out, 0.5)
+
+
 def test_att_softmax_readout_uniform():
     att = jnp.zeros((1, 4))                  # uniform softmax
     img = jnp.asarray(np.arange(8, dtype=np.float32).reshape(1, 4, 2))
