@@ -106,29 +106,37 @@ class RawImageSource:
     (in-graph VGG pool5; replaces the reference's offline 29 GB feature
     dump, exp_clevr/data/extract_visual_features_vgg_pool5.py:23-55).
 
-    Emits [H, W, 3] float32 0-255 BGR — the layout the reference feeds
-    its VGG (vgg_net.py:16-20; its extractor reads RGB and flips to BGR).
-    Supports .npy image files (assumed already BGR 0-255) and standard
-    image formats via PIL (read RGB, flipped to BGR here).
+    color="bgr255" emits [H, W, 3] float32 0-255 BGR — the layout the
+    reference feeds its VGG (vgg_net.py:16-20; its extractor reads RGB
+    and flips to BGR). color="rgb01" emits RGB in [0, 1] (the ResNet-152
+    convention, models/resnet.py). Supports .npy image files (assumed
+    already in the requested convention) and standard image formats via
+    PIL.
     """
 
-    def __init__(self, imdb, image_shape):
+    def __init__(self, imdb, image_shape, color="bgr255"):
+        assert color in ("bgr255", "rgb01")
+        self.color = color
         self.feat_shape = tuple(image_shape) + (3,)
 
     def _load(self, path):
+        h, w, _ = self.feat_shape
         if path.endswith(".npy"):
             img = np.load(path).astype(np.float32)
-        else:
-            from PIL import Image
-            with Image.open(path) as im:
-                img = np.asarray(im.convert("RGB"), np.float32)
-            img = img[:, :, ::-1]  # RGB -> BGR
-        h, w, _ = self.feat_shape
-        if img.shape[:2] != (h, w):
-            from PIL import Image
-            im = Image.fromarray(img[:, :, ::-1].astype(np.uint8))
-            img = np.asarray(im.resize((w, h)), np.float32)[:, :, ::-1]
-        return img
+            if img.shape[:2] != (h, w):
+                raise ValueError(
+                    f".npy image {path} is {img.shape[:2]}, expected "
+                    f"{(h, w)} (no resize for pre-converted arrays)")
+            return img
+        from PIL import Image
+        with Image.open(path) as im:
+            im = im.convert("RGB")
+            if im.size != (w, h):
+                im = im.resize((w, h))
+            img = np.asarray(im, np.float32)
+        if self.color == "bgr255":
+            return img[:, :, ::-1]   # RGB -> BGR, 0-255
+        return img / 255.0           # RGB, [0, 1]
 
     def get_batch(self, recs, out):
         for n, rec in enumerate(recs):

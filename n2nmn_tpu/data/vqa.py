@@ -29,7 +29,8 @@ class VqaBatchLoader:
                  load_gt_layout=None, load_gt_txtatt=None,
                  load_binary_labels=False, overriding_layout=None,
                  use_count_module=False, packed_feature_file=None,
-                 batch_size=None, answer_seed=None):
+                 batch_size=None, answer_seed=None,
+                 raw_images=False, image_shape=(448, 448)):
         self.imdb = imdb
         self.vocab_dict = VocabDict(vocab_question_file)
         self.answer_dict = VocabDict(vocab_answer_file)
@@ -54,7 +55,14 @@ class VqaBatchLoader:
             self.load_gt_layout = True
             self.load_gt_txtatt = False
         self.use_count_module = use_count_module
-        self.features = FeatureSource(imdb, packed_feature_file)
+        if raw_images:
+            # end-to-end image->answer (in-graph ResNet-152 res5c): RGB
+            # [0,1] raw images instead of the 307 GB offline feature dump
+            from n2nmn_tpu.data.imdb import RawImageSource
+            self.features = RawImageSource(imdb, image_shape,
+                                           color="rgb01")
+        else:
+            self.features = FeatureSource(imdb, packed_feature_file)
         self.feat_H, self.feat_W, self.feat_D = self.features.feat_shape
 
     def load_one_batch(self, sample_ids):

@@ -65,6 +65,16 @@ class VqaConfig:
     imdb_trn: str = "data/imdb/imdb_trainval2014.npy"
     glove_mat_file: str = "data/vocabulary_vqa_glove.npy"
     packed_features: Optional[str] = None
+    # end-to-end image->answer: raw COCO images -> in-graph frozen
+    # ResNet-152 res5c -> modules in ONE program (replaces the 307 GB
+    # offline feature dump the reference consumes, README.md:144).
+    # image_H/W 448 -> 14x14x2048 grid, matching the offline dump.
+    from_images: bool = False
+    image_H: int = 448
+    image_W: int = 448
+    # converted ResNet-152 weights (torchvision .pth via
+    # models/resnet.from_torchvision_state_dict, or a params .npz)
+    resnet_weights: Optional[str] = None
 
 
 def rl_config(**overrides) -> VqaConfig:
@@ -100,11 +110,13 @@ def build_model(cfg: VqaConfig, sampling: bool, T_decoder: int = None):
         mask_mode="grammar")
     model_cfg = NMNConfig(
         flavor="vqa", netgen=net_cfg, num_choices=num_choices,
-        H_feat=cfg.H_feat, W_feat=cfg.W_feat,
+        H_feat=cfg.image_H // 32 if cfg.from_images else cfg.H_feat,
+        W_feat=cfg.image_W // 32 if cfg.from_images else cfg.W_feat,
         D_feat=(cfg.new_visfeat_dim if cfg.reduce_visfeat_dim
                 else cfg.D_feat),
         use_qpn=cfg.use_qpn, qpn_dropout=cfg.qpn_dropout,
-        reduce_visfeat_dim=cfg.reduce_visfeat_dim, D_feat_raw=cfg.D_feat)
+        reduce_visfeat_dim=cfg.reduce_visfeat_dim, D_feat_raw=cfg.D_feat,
+        in_graph_resnet=cfg.from_images)
     return NMNModel(model_cfg, grammar), grammar
 
 
@@ -123,7 +135,27 @@ def make_reader(cfg: VqaConfig, imdb_file, grammar, shuffle=True,
         T_encoder=cfg.T_encoder, T_decoder=T_decoder or cfg.T_decoder,
         grammar=grammar, load_gt_layout=load_gt_layout,
         use_count_module=cfg.use_count_module,
-        packed_feature_file=cfg.packed_features, **extra)
+        packed_feature_file=cfg.packed_features,
+        raw_images=cfg.from_images,
+        image_shape=(cfg.image_H, cfg.image_W), **extra)
+
+
+def _load_resnet_weights(cfg: VqaConfig, params):
+    """Install converted ResNet-152 weights into params['resnet']
+    (from_images mode; replaces the offline res5c dump)."""
+    from n2nmn_tpu.models import resnet
+    from n2nmn_tpu.train.checkpoint import load_params as _lp
+    if cfg.resnet_weights.endswith(".npz"):
+        # an .npz written by train/checkpoint.save_params of the resnet
+        # params subtree (e.g. from exp_vqa/data/extract_resnet152_res5c)
+        params["resnet"], _ = _lp(cfg.resnet_weights, params["resnet"])
+    else:
+        import torch
+        sd = torch.load(cfg.resnet_weights, map_location="cpu",
+                        weights_only=True)
+        params["resnet"] = resnet.from_torchvision_state_dict(sd)
+    print(f"loaded ResNet-152 weights from {cfg.resnet_weights}")
+    return params
 
 
 def maybe_load_glove(cfg: VqaConfig, params):
@@ -150,6 +182,8 @@ def train(cfg: VqaConfig, pretrained_model: Optional[str] = None):
 
     key = jax.random.PRNGKey(cfg.seed)
     params = model.init(key)
+    if cfg.from_images and cfg.resnet_weights:
+        params = _load_resnet_weights(cfg, params)
     if pretrained_model:
         params, _ = load_params(pretrained_model, params)
         print(f"restored pretrained model from {pretrained_model}")
@@ -224,6 +258,8 @@ def evaluate(cfg: VqaConfig, exp_name, snapshot_name, test_split,
     params, _ = load_params(
         os.path.join(cfg.root, "tfmodel", exp_name, snapshot_name),
         params_t)
+    if cfg.from_images and cfg.resnet_weights:
+        params = _load_resnet_weights(cfg, params)
     eval_step = make_eval_step(model)
     rng = jax.random.PRNGKey(0)
 

@@ -89,13 +89,21 @@ def execute_layout(tokens: jnp.ndarray,
                    hw: int,
                    num_choices: int,
                    stack_size: int | None = None,
-                   return_intermediates: bool = False):
+                   return_intermediates: bool = False,
+                   step_shared=None):
     """Run the padded RPN program.
 
     tokens: [T_dec, N] int32 module tokens (Reverse Polish order).
     pre_static: pytree of batch-level precomputes (no time axis).
     pre_step: pytree of per-step precomputes with leading axis T_dec
               (e.g. per-module text mappings fc(word_vecs)).
+    step_shared: optional (pre_static, pre_t, in0, in1, t) -> dict,
+              evaluated ONCE per step after the stack pops and merged into
+              pre_t before the branches run — the hook for cross-branch
+              fusion (e.g. one stacked softmax-readout pass over
+              image_feat serving every readout-consuming module, instead
+              of each branch re-streaming the [N, HW, D_feat] grid from
+              HBM; see modules/clevr.make_step_shared).
     Returns (scores [N, num_choices], validity [N] bool); with
     return_intermediates also the per-step selected attention maps
     [T_dec, N, HW] (visualization — the reference needed a whole notebook
@@ -145,6 +153,10 @@ def execute_layout(tokens: jnp.ndarray,
         sub = jnp.take_along_axis(stack, sub_idx[:, None, None], axis=1)[:, 0]
         in1 = top
         in0 = jnp.where((arity == 2)[:, None], sub, top)
+
+        if step_shared is not None:
+            pre_t = {**pre_t, **step_shared(pre_static, pre_t,
+                                            in0, in1, t)}
 
         # dense evaluation of every module, one-hot select per example
         att_outs = jnp.stack([f(pre_static, pre_t, in0, in1, t)

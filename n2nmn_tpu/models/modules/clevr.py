@@ -111,6 +111,30 @@ def precompute(params, image_feat, word_vecs):
     return pre_static, pre_step
 
 
+def make_step_shared(params):
+    """Cross-branch fusion hook for the executor (see
+    executor.execute_layout): _FindSameProperty/_SameProperty/_Describe
+    all need softmax-readouts of the stack inputs against the SAME
+    [N, HW, D_feat] image grid (reference att_softmax + weighted sum,
+    nmn3_modules.py:170-174) — one stacked einsum streams the grid from
+    HBM once per step instead of once per distinct readout."""
+
+    def step_shared(pre, pre_t, in0, in1, t):
+        sm = jax.nn.softmax(jnp.stack([in0, in1], axis=1), axis=2)
+        ro = jnp.einsum("nkp,npd->nkd", sm, pre["image_feat"])
+        return {"readout0": ro[:, 0], "readout1": ro[:, 1]}
+
+    return step_shared
+
+
+def _readout(pre, pre_t, att, key):
+    """Shared per-step readout when the executor provides it; direct
+    computation otherwise (tree-interpreter / standalone callers)."""
+    if key in pre_t:
+        return pre_t[key]
+    return common.att_softmax_readout(att, pre["image_feat"])
+
+
 def make_branches(params):
     def _fc(p, x):
         return x @ p["w"] + p["b"]
@@ -127,7 +151,7 @@ def make_branches(params):
 
     def find_same_property(pre, pre_t, in0, in1, t):
         p = params["find_same_property"]
-        att_feat = common.att_softmax_readout(in0, pre["image_feat"])
+        att_feat = _readout(pre, pre_t, in0, "readout0")
         att_mapped = _fc(p["fc_att"], att_feat)            # [N, map]
         elt = l2_normalize(
             pre["img_fsp"] * pre_t["txt_fsp"][:, None, :]
@@ -162,17 +186,15 @@ def make_branches(params):
 
     def same_property(pre, pre_t, in0, in1, t):
         p = params["same_property"]
-        f0 = _fc(p["fc_att_0"],
-                 common.att_softmax_readout(in0, pre["image_feat"]))
-        f1 = _fc(p["fc_att_1"],
-                 common.att_softmax_readout(in1, pre["image_feat"]))
+        f0 = _fc(p["fc_att_0"], _readout(pre, pre_t, in0, "readout0"))
+        f1 = _fc(p["fc_att_1"], _readout(pre, pre_t, in1, "readout1"))
         elt = l2_normalize(f0 * pre_t["txt_sp"] * f1, axis=1)
         return _fc(p["fc_eltwise"], elt)
 
     def describe(pre, pre_t, in0, in1, t):
         p = params["describe"]
         att_mapped = _fc(p["fc_att"],
-                         common.att_softmax_readout(in0, pre["image_feat"]))
+                         _readout(pre, pre_t, in0, "readout0"))
         elt = l2_normalize(pre_t["txt_desc"] * att_mapped, axis=1)
         return _fc(p["fc_eltwise"], elt)
 

@@ -106,6 +106,24 @@ def precompute(params, image_feat, word_vecs, encoder_states=None):
     return pre_static, pre_step
 
 
+def make_step_shared(params):
+    """_Transform and _Describe both softmax-readout in0 against the same
+    image grid (reference nmn3_modules.py:123-240): compute it once per
+    executor step (see executor.execute_layout)."""
+
+    def step_shared(pre, pre_t, in0, in1, t):
+        return {"readout0": common.att_softmax_readout(
+            in0, pre["image_feat"])}
+
+    return step_shared
+
+
+def _readout0(pre, pre_t, in0):
+    if "readout0" in pre_t:
+        return pre_t["readout0"]
+    return common.att_softmax_readout(in0, pre["image_feat"])
+
+
 def make_branches(params):
     def _fc(p, x):
         return x @ p["w"] + p["b"]
@@ -115,8 +133,7 @@ def make_branches(params):
 
     def transform(pre, pre_t, in0, in1, t):
         p = params["transform"]
-        att_mapped = _fc(p["fc_att"],
-                         common.att_softmax_readout(in0, pre["image_feat"]))
+        att_mapped = _fc(p["fc_att"], _readout0(pre, pre_t, in0))
         elt = l2_normalize(
             pre["img_tfm"] * pre_t["txt_tfm"][:, None, :]
             * att_mapped[:, None, :], axis=2)
@@ -127,8 +144,7 @@ def make_branches(params):
 
     def describe(pre, pre_t, in0, in1, t):
         p = params["describe"]
-        att_mapped = _fc(p["fc_att"],
-                         common.att_softmax_readout(in0, pre["image_feat"]))
+        att_mapped = _fc(p["fc_att"], _readout0(pre, pre_t, in0))
         elt = pre_t["txt_desc"] * att_mapped
         if "enc_mapped" in pre:
             # optional encoder-state mixing (reference

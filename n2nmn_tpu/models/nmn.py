@@ -45,10 +45,12 @@ class NMNConfig:
     D_feat: int                    # channels of the module-visible grid
     in_graph_cnn: bool = False     # SHAPES: images -> convnet in-graph
     in_graph_vgg: bool = False     # CLEVR: raw images -> VGG pool5 in-graph
-    # The reference's VGG is frozen by construction (features are dumped
-    # offline, exp_clevr/data/extract_visual_features_vgg_pool5.py); keep
-    # that contract in-graph: stop gradients at pool5 and exclude the
-    # backbone from L2 decay (train/steps.py). Set False to fine-tune.
+    in_graph_resnet: bool = False  # VQA: raw images -> ResNet-152 res5c
+    # The reference's backbones are frozen by construction (features are
+    # dumped offline: exp_clevr/data/extract_visual_features_vgg_pool5.py;
+    # VQA's 307 GB res5c dump); keep that contract in-graph: stop
+    # gradients at the feature grid and exclude the backbone from L2
+    # decay (train/steps.py). Set False to fine-tune.
     freeze_vgg: bool = True
     use_qpn: bool = False
     qpn_dropout: bool = False
@@ -103,6 +105,11 @@ class NMNModel:
             # extraction fused into the same program; load converted
             # weights via models/vgg_convert.py
             params["vgg"] = backbones.init_vgg16(k_cnn, dtype)
+        if cfg.in_graph_resnet:
+            # VQA analogue: replaces the 307 GB offline ResNet-152 res5c
+            # dump (reference README.md:144) the same way
+            from n2nmn_tpu.models import resnet
+            params["resnet"] = resnet.init_random(k_cnn, dtype)
         if cfg.use_qpn:
             params["qpn"] = init_qpn(k_qpn, cfg.netgen.lstm_dim,
                                      cfg.netgen.num_layers,
@@ -136,6 +143,12 @@ class NMNModel:
             image_feat = backbones.vgg16_pool5(params["vgg"], image_input)
             if cfg.freeze_vgg:
                 image_feat = jax.lax.stop_gradient(image_feat)
+        elif cfg.in_graph_resnet:
+            from n2nmn_tpu.models import resnet
+            image_feat = resnet.resnet152_res5c(params["resnet"],
+                                                image_input)
+            if cfg.freeze_vgg:
+                image_feat = jax.lax.stop_gradient(image_feat)
         else:
             image_feat = image_input
         if cfg.reduce_visfeat_dim:
@@ -151,12 +164,15 @@ class NMNModel:
         pre_static, pre_step = self.lib.precompute(
             params["modules"], image_feat, net_out.word_vecs)
         att_branches, ans_branches = self.lib.make_branches(params["modules"])
+        make_shared = getattr(self.lib, "make_step_shared", None)
 
         scores, validity = execute_layout(
             net_out.tokens, self.tables, att_branches, ans_branches,
             pre_static, pre_step,
             hw=cfg.H_feat * cfg.W_feat, num_choices=cfg.num_choices,
-            stack_size=cfg.netgen.T_decoder)
+            stack_size=cfg.netgen.T_decoder,
+            step_shared=make_shared(params["modules"]) if make_shared
+            else None)
 
         if cfg.use_qpn:
             scores_qpn = apply_qpn(params["qpn"], net_out.encoder_h_final,

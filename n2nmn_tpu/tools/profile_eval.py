@@ -87,11 +87,14 @@ def phase_programs(model):
         pre_static, pre_step = model.lib.precompute(
             params["modules"], image_feat, word_vecs)
         att_b, ans_b = model.lib.make_branches(params["modules"])
+        make_shared = getattr(model.lib, "make_step_shared", None)
         return execute_layout(tokens, model.tables, att_b, ans_b,
                               pre_static, pre_step,
                               hw=cfg.H_feat * cfg.W_feat,
                               num_choices=cfg.num_choices,
-                              stack_size=cfg.netgen.T_decoder)
+                              stack_size=cfg.netgen.T_decoder,
+                              step_shared=make_shared(params["modules"])
+                              if make_shared else None)
 
     return fused, decode_only, execute_only
 

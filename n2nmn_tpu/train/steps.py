@@ -56,13 +56,20 @@ def _wmean(x, w):
 
 
 def _l2_for_decay(model, params):
-    """L2 over trainable weights. A frozen in-graph VGG backbone is not a
-    trainable variable in the reference (its features are dumped offline),
-    so it is excluded from decay; SHAPES' in-graph convnet IS trained
-    (models_shapes/nmn3_model.py) and stays included."""
-    if (getattr(model.cfg, "in_graph_vgg", False)
-            and getattr(model.cfg, "freeze_vgg", True) and "vgg" in params):
-        params = {k: v for k, v in params.items() if k != "vgg"}
+    """L2 over trainable weights. A frozen in-graph backbone (VGG pool5 /
+    ResNet res5c) is not a trainable variable in the reference (its
+    features are dumped offline), so it is excluded from decay; SHAPES'
+    in-graph convnet IS trained (models_shapes/nmn3_model.py) and stays
+    included."""
+    cfg = model.cfg
+    if getattr(cfg, "freeze_vgg", True):
+        frozen = {k for k, on in (("vgg", getattr(cfg, "in_graph_vgg",
+                                                  False)),
+                                  ("resnet", getattr(cfg, "in_graph_resnet",
+                                                     False)))
+                  if on and k in params}
+        if frozen:
+            params = {k: v for k, v in params.items() if k not in frozen}
     return l2_of_weights(params)
 
 

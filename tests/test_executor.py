@@ -43,7 +43,11 @@ def random_valid_programs(grammar, T, n, seed=0):
 
 def interpret_tree(expr, n, att_branches, ans_branches, att_names,
                    ans_names, pre_static, pre_step):
-    """Direct recursive evaluation of one expression tree for example n."""
+    """Direct recursive evaluation of one expression tree for example n.
+
+    Calls the branch fns WITHOUT the executor's step_shared fusion hook —
+    they fall back to computing readouts directly, so this stays an
+    independent check of the fused path."""
     def slice_static(tree):
         return jax.tree_util.tree_map(
             lambda a: a[n:n + 1] if hasattr(a, "ndim") else a, tree)
@@ -82,7 +86,9 @@ def _setup(flavor, vocab, T, H, W, D, C, N=16, seed=0):
     pre_static, pre_step = lib.precompute(params, image_feat, word_vecs)
     att_b, ans_b = lib.make_branches(params)
     tables = build_tables(grammar, lib.ATT_MODULES, lib.ANS_MODULES)
-    return grammar, lib, tables, att_b, ans_b, pre_static, pre_step
+    make_shared = getattr(lib, "make_step_shared", None)
+    shared = make_shared(params) if make_shared else None
+    return grammar, lib, tables, att_b, ans_b, pre_static, pre_step, shared
 
 
 @pytest.mark.parametrize("flavor,vocab,T,H,W,D,C", [
@@ -93,13 +99,16 @@ def _setup(flavor, vocab, T, H, W, D, C, N=16, seed=0):
 def test_executor_matches_tree_interpreter(flavor, vocab, T, H, W, D, C):
     N = 16
     (grammar, lib, tables, att_b, ans_b,
-     pre_static, pre_step) = _setup(flavor, vocab, T, H, W, D, C)
+     pre_static, pre_step, shared) = _setup(flavor, vocab, T, H, W, D, C)
     tokens = random_valid_programs(grammar, T, N, seed=7)
 
+    # the production path: fused step_shared readouts (clevr/vqa); the
+    # tree interpreter below computes readouts per-branch — independent
     scores, validity = jax.jit(
         lambda tok: execute_layout(tok, tables, att_b, ans_b, pre_static,
                                    pre_step, hw=H * W, num_choices=C,
-                                   stack_size=T))(jnp.asarray(tokens))
+                                   stack_size=T,
+                                   step_shared=shared))(jnp.asarray(tokens))
     scores = np.asarray(scores)
     assert np.all(np.asarray(validity))
 
@@ -116,8 +125,8 @@ def test_executor_matches_tree_interpreter(flavor, vocab, T, H, W, D, C):
 def test_invalid_programs_get_zero_scores_and_false_validity():
     T, N, H, W, D, C = 11, 8, 3, 3, 64, 2
     (grammar, lib, tables, att_b, ans_b,
-     pre_static, pre_step) = _setup("shapes", SHAPES_VOCAB, T, H, W, D, C,
-                                    N=N)
+     pre_static, pre_step, _) = _setup("shapes", SHAPES_VOCAB, T, H, W, D, C,
+                                       N=N)
     rng = np.random.RandomState(3)
     # random garbage token sequences — mostly invalid
     tokens = rng.randint(0, grammar.num_vocab, size=(T, N)).astype(np.int32)

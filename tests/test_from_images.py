@@ -85,7 +85,58 @@ def test_from_images_train_and_eval(image_root):
     assert "layout_validity" in res
 
 
-def test_raw_image_source_bgr_and_resize(tmp_path):
+def test_vqa_in_graph_resnet_forward_and_frozen():
+    """VQA image->answer path: raw RGB [0,1] -> in-graph ResNet-152 res5c
+    -> modules, one program; the frozen backbone must receive zero grads
+    and be excluded from L2 decay (reference consumes a 307 GB offline
+    res5c dump — the backbone is not trainable there either)."""
+    import jax
+    import jax.numpy as jnp
+    from n2nmn_tpu.layout.grammar import ModuleGrammar
+    from n2nmn_tpu.models.netgen import NetgenConfig
+    from n2nmn_tpu.models.nmn import NMNConfig, NMNModel
+    from n2nmn_tpu.train.steps import _l2_for_decay
+
+    grammar = ModuleGrammar(["_Find", "_Transform", "_And", "_Describe",
+                             "<eos>"])
+    net_cfg = NetgenConfig(
+        num_vocab_txt=10, embed_dim_txt=8, num_vocab_nmn=grammar.num_vocab,
+        embed_dim_nmn=8, lstm_dim=16, num_layers=1, T_decoder=4,
+        decoder_sampling=False, mask_mode="grammar")
+    cfg = NMNConfig(flavor="vqa", netgen=net_cfg, num_choices=5,
+                    H_feat=2, W_feat=2, D_feat=2048, in_graph_resnet=True)
+    model = NMNModel(cfg, grammar)
+    params = model.init(jax.random.PRNGKey(0))
+    assert "resnet" in params
+
+    n = 2
+    key = jax.random.PRNGKey(1)
+    text = jax.random.randint(key, (6, n), 0, 10, jnp.int32)
+    seq_len = jnp.full((n,), 6, jnp.int32)
+    images = jax.random.uniform(key, (n, 64, 64, 3))  # 64/32 -> 2x2 grid
+
+    def loss(p):
+        out = model.apply(p, text, seq_len, images, jax.random.PRNGKey(2),
+                          use_gt_layout=False, deterministic=True)
+        return jnp.sum(out.scores ** 2)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    # frozen: every resnet grad exactly zero
+    for g in jax.tree_util.tree_leaves(grads["resnet"]):
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
+    # and excluded from weight decay: decay over the full tree equals
+    # decay with the resnet subtree dropped (resnet params also use raw
+    # conv arrays, not 'w' leaves, so they are doubly outside the
+    # reference's *weights L2 filter)
+    from n2nmn_tpu.ops.nn import l2_of_weights
+    l2_frozen = _l2_for_decay(model, params)
+    l2_without = l2_of_weights({k: v for k, v in params.items()
+                                if k != "resnet"})
+    np.testing.assert_allclose(float(l2_frozen), float(l2_without))
+
+
+def test_raw_image_source_color_conventions(tmp_path):
     from PIL import Image
     from n2nmn_tpu.data.imdb import RawImageSource
 
@@ -101,10 +152,20 @@ def test_raw_image_source_bgr_and_resize(tmp_path):
     assert np.all(out[0, :, :, 0] == 50)    # B first
     assert np.all(out[0, :, :, 2] == 200)   # R last
 
-    # .npy path passes through unchanged; mismatched size resizes
-    big = tmp_path / "big.npy"
-    np.save(big, np.full((8, 8, 3), 100.0, np.float32))
+    # rgb01 (ResNet convention): RGB order, scaled to [0, 1]
+    src01 = RawImageSource(None, (4, 4), color="rgb01")
+    out01 = np.zeros((1, 4, 4, 3), np.float32)
+    src01.get_batch([{"image_path": str(png)}], out01)
+    np.testing.assert_allclose(out01[0, :, :, 0], 200 / 255.0, rtol=1e-6)
+    np.testing.assert_allclose(out01[0, :, :, 2], 50 / 255.0, rtol=1e-6)
+
+    # .npy passes through when the size matches; mismatch raises
+    ok = tmp_path / "ok.npy"
+    np.save(ok, np.full((4, 4, 3), 100.0, np.float32))
     out2 = np.zeros((1, 4, 4, 3), np.float32)
-    src.get_batch([{"image_path": str(big)}], out2)
-    assert out2.shape == (1, 4, 4, 3)
+    src.get_batch([{"image_path": str(ok)}], out2)
     np.testing.assert_allclose(out2, 100.0)
+    bad = tmp_path / "bad.npy"
+    np.save(bad, np.full((8, 8, 3), 100.0, np.float32))
+    with pytest.raises(ValueError):
+        src.get_batch([{"image_path": str(bad)}], out2)
