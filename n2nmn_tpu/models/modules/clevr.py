@@ -98,7 +98,6 @@ def precompute(params, image_feat, word_vecs):
     }
     pre_step = {
         "txt_fsp": txt(params["find_same_property"]["fc_text"]),
-        "txt_tfm": txt(params["transform"]["text_fc"]),
         "txt_sp": txt(params["same_property"]["fc_text"]),
         "txt_desc": txt(params["describe"]["fc_text"]),
         # _Find is stack-independent: hoist its whole [T, N, HW] output out
@@ -108,6 +107,13 @@ def precompute(params, image_feat, word_vecs):
             pre_static["img_find"], txt(params["find"]["fc_text"]),
             params["find"]["conv_eltwise"]),
     }
+    txt_tfm = txt(params["transform"]["text_fc"])
+    if common.TRANSFORM_IMPL == "dot":
+        pre_step.update(common.transform_dot_precompute(
+            params["transform"]["conv_maps"],
+            params["transform"]["conv_eltwise"], txt_tfm))
+    else:
+        pre_step["txt_tfm"] = txt_tfm
     return pre_static, pre_step
 
 
@@ -160,6 +166,10 @@ def make_branches(params):
 
     def transform(pre, pre_t, in0, in1, t):
         p = params["transform"]
+        if "tfm_kq" in pre_t:   # dot form (common.TRANSFORM_IMPL)
+            return common.transform_dot_apply(
+                in0, pre_t, p["conv_eltwise"], pre["h"], pre["w"],
+                TRANSFORM_KERNEL)
         maps = common.conv_on_attention(in0, p["conv_maps"],
                                         pre["h"], pre["w"])
         elt = l2_normalize(maps * pre_t["txt_tfm"][:, None, :], axis=2)

@@ -24,6 +24,13 @@ from n2nmn_tpu.ops.nn import l2_normalize
 # softmax readout); opt-in via env until validated per-deployment.
 USE_PALLAS = os.environ.get("N2NMN_USE_PALLAS", "0") == "1"
 
+# _Transform implementation: "conv" materializes the [N, HW, map_dim]
+# conv-on-attention intermediate in the executor scan each step; "dot"
+# reassociates the l2norm+project so only k^2-dim patch tensors flow
+# through the scan (see transform_dot_precompute). Math-identical;
+# selected per-deployment after measuring both on the target chip.
+TRANSFORM_IMPL = os.environ.get("N2NMN_TRANSFORM", "conv")
+
 
 def project_to_att(x, proj):
     """1x1 'conv_eltwise' projection [N, HW, D] -> [N, HW] with params
@@ -101,6 +108,71 @@ def flat_min_max(att_flat):
                             jnp.min(att_flat, axis=1, keepdims=True),
                             jnp.max(att_flat, axis=1, keepdims=True)],
                            axis=1)
+
+
+def transform_dot_precompute(conv_params, proj, txt_steps, eps=1e-12):
+    """Per-step tensors for the dot-form _Transform (TRANSFORM_IMPL="dot").
+
+    _Transform computes project(l2norm(conv(att) ⊙ txt[t])) (reference
+    TransformModule, models_clevr/nmn3_modules.py:185-216). With
+    conv(att)[p, c] = P[p, :] @ K[:, c] + b_c  (P = k² attention patches,
+    K = conv kernel reshaped [k², map_dim]), the numerator and squared
+    norm reassociate into patch-space quadratics:
+
+      num[p]  = P[p]·kq + c0,          kq = K (txt ⊙ w_proj)
+      den[p]  = P[p]ᵀ M P[p] + 2 P[p]·m1 + m0,
+                M = K diag(txt²) Kᵀ,  m1 = K (txt² ⊙ b),  m0 = Σ txt² b²
+      out[p]  = num[p] · rsqrt(max(den[p], eps)) + b_proj
+
+    so the executor scan touches only [N, HW, k²] patch tensors instead of
+    materializing the [N, HW, map_dim] conv activation every step — the
+    map_dim contraction moves to this one batched precompute over all T
+    decoder steps. HIGHEST precision keeps f32 math equivalent to the
+    conv form (executor golden tests compare at rtol 2e-4).
+
+    txt_steps: [T, N, map_dim]. Returns dict of [T, ...] arrays for
+    pre_step.
+    """
+    k = conv_params["w"].shape[0]
+    map_dim = conv_params["w"].shape[-1]
+    K = conv_params["w"].reshape(k * k, map_dim)
+    b = conv_params["b"]
+    wp = proj["w"][:, 0]
+    hi = jax.lax.Precision.HIGHEST
+    txt_sq = jnp.square(txt_steps)
+    kq = jnp.einsum("qc,tnc->tnq", K, txt_steps * wp, precision=hi)
+    c0 = jnp.einsum("c,tnc->tn", b * wp, txt_steps, precision=hi)
+    KK = jnp.einsum("qc,rc->qrc", K, K, precision=hi)
+    M = jnp.einsum("qrc,tnc->tnqr", KK, txt_sq, precision=hi)
+    m1 = jnp.einsum("qc,tnc->tnq", K * b[None, :], txt_sq, precision=hi)
+    m0 = jnp.einsum("c,tnc->tn", jnp.square(b), txt_sq, precision=hi)
+    return {"tfm_kq": kq, "tfm_c0": c0, "tfm_M": M, "tfm_m1": m1,
+            "tfm_m0": m0}
+
+
+def attention_patches(att_flat, h, w, k):
+    """k x k neighborhoods of an attention map: [N, HW] -> [N, HW, k²],
+    SAME padding, patch channel order matching HWIO conv kernels."""
+    n = att_flat.shape[0]
+    att_grid = att_flat.reshape(n, h, w, 1)
+    pad = (k - 1) // 2
+    patches = jax.lax.conv_general_dilated_patches(
+        att_grid, (k, k), window_strides=(1, 1),
+        padding=[(pad, k - 1 - pad), (pad, k - 1 - pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return patches.reshape(n, h * w, k * k)
+
+
+def transform_dot_apply(att_flat, pre_t, proj, h, w, k, eps=1e-12):
+    """In-scan dot-form _Transform step (see transform_dot_precompute)."""
+    P = attention_patches(att_flat, h, w, k)          # [N, HW, k²]
+    num = jnp.einsum("npq,nq->np", P, pre_t["tfm_kq"]) \
+        + pre_t["tfm_c0"][:, None]
+    PM = jnp.einsum("npq,nqr->npr", P, pre_t["tfm_M"])
+    den = jnp.sum(PM * P, axis=2) \
+        + 2.0 * jnp.einsum("npq,nq->np", P, pre_t["tfm_m1"]) \
+        + pre_t["tfm_m0"][:, None]
+    return num * jax.lax.rsqrt(jnp.maximum(den, eps)) + proj["b"][0]
 
 
 def conv_on_attention(att_flat, conv_params, h, w):

@@ -62,7 +62,13 @@ def precompute(params, image_feat, word_vecs):
     # scan (see common.find_core_all)
     att_find = common.find_core_all(img_mapped, txt_find,
                                     params["find"]["conv_eltwise"])
-    pre_step = {"att_find": att_find, "txt_tfm": txt_tfm}
+    pre_step = {"att_find": att_find}
+    if common.TRANSFORM_IMPL == "dot":
+        pre_step.update(common.transform_dot_precompute(
+            params["transform"]["conv_maps"],
+            params["transform"]["conv_eltwise"], txt_tfm))
+    else:
+        pre_step["txt_tfm"] = txt_tfm
     return pre_static, pre_step
 
 
@@ -73,6 +79,10 @@ def make_branches(params):
         return pre_t["att_find"]
 
     def transform(pre, pre_t, in0, in1, t):
+        if "tfm_kq" in pre_t:   # dot form (common.TRANSFORM_IMPL)
+            return common.transform_dot_apply(
+                in0, pre_t, params["transform"]["conv_eltwise"],
+                pre["h"], pre["w"], TRANSFORM_KERNEL)
         maps = common.conv_on_attention(in0, params["transform"]["conv_maps"],
                                         pre["h"], pre["w"])
         from n2nmn_tpu.ops.nn import l2_normalize

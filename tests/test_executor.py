@@ -122,6 +122,31 @@ def test_executor_matches_tree_interpreter(flavor, vocab, T, H, W, D, C):
         np.testing.assert_allclose(scores[n], ref, rtol=2e-4, atol=2e-5)
 
 
+def test_transform_impl_dot_matches_conv_in_executor(monkeypatch):
+    """Full-executor equivalence of the two _Transform implementations
+    (modules/common.TRANSFORM_IMPL): same tokens, same params ->
+    same scores."""
+    from n2nmn_tpu.models.modules import common
+
+    T, H, W, D, C = 10, 5, 6, 16, 28
+
+    def run(impl):
+        monkeypatch.setattr(common, "TRANSFORM_IMPL", impl)
+        (grammar, lib, tables, att_b, ans_b,
+         pre_static, pre_step, shared) = _setup(
+            "clevr", CLEVR_VOCAB, T, H, W, D, C)
+        tokens = jnp.asarray(random_valid_programs(grammar, T, 16, seed=9))
+        scores, validity = execute_layout(
+            tokens, tables, att_b, ans_b, pre_static, pre_step,
+            hw=H * W, num_choices=C, stack_size=T, step_shared=shared)
+        return np.asarray(scores), np.asarray(validity)
+
+    s_conv, v_conv = run("conv")
+    s_dot, v_dot = run("dot")
+    np.testing.assert_array_equal(v_conv, v_dot)
+    np.testing.assert_allclose(s_dot, s_conv, rtol=2e-4, atol=2e-5)
+
+
 def test_invalid_programs_get_zero_scores_and_false_validity():
     T, N, H, W, D, C = 11, 8, 3, 3, 64, 2
     (grammar, lib, tables, att_b, ans_b,

@@ -4,6 +4,7 @@ reference's module math, models_clevr/nmn3_modules.py et al)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from n2nmn_tpu.models.modules import common, clevr, shapes, vqa
 from n2nmn_tpu.ops.nn import l2_normalize
@@ -57,6 +58,46 @@ def test_find_core_all_zero_image_is_finite():
     out = np.asarray(common.find_core_all(img, txt, proj))
     assert np.all(np.isfinite(out))
     np.testing.assert_allclose(out, 0.5)
+
+
+@pytest.mark.parametrize("h,w,k,map_dim", [(3, 3, 3, 32), (5, 6, 5, 24)])
+def test_transform_dot_matches_conv_form(h, w, k, map_dim):
+    """The dot-form _Transform (patch-space quadratic) must reproduce the
+    conv-form project(l2norm(conv(att) * txt)) for SHAPES (k=3) and CLEVR
+    (k=5) kernel sizes."""
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    T, N = 4, 3
+    att = jax.random.normal(k1, (N, h * w))
+    txt = jax.random.normal(k2, (T, N, map_dim))
+    conv_params = {"w": jax.random.normal(k3, (k, k, 1, map_dim)) * 0.3,
+                   "b": jax.random.normal(k4, (map_dim,)) * 0.1}
+    proj = {"w": jax.random.normal(k1, (map_dim, 1)),
+            "b": jnp.asarray([0.7])}
+
+    pre_t_all = common.transform_dot_precompute(conv_params, proj, txt)
+    for t in range(T):
+        maps = common.conv_on_attention(att, conv_params, h, w)
+        elt = l2_normalize(maps * txt[t][:, None, :], axis=2)
+        ref = np.asarray(common.project_to_att(elt, proj))
+        pre_t = {kk: v[t] for kk, v in pre_t_all.items()}
+        got = np.asarray(common.transform_dot_apply(att, pre_t, proj,
+                                                    h, w, k))
+        np.testing.assert_allclose(got, ref, rtol=5e-5, atol=5e-6)
+
+
+def test_attention_patches_order_matches_conv():
+    """attention_patches channel order must match HWIO kernel reshape:
+    patches @ K.reshape(k*k, C) == conv(att, K)."""
+    key = jax.random.PRNGKey(5)
+    h, w, k, c = 4, 5, 3, 7
+    att = jax.random.normal(key, (2, h * w))
+    kern = {"w": jax.random.normal(key, (k, k, 1, c)),
+            "b": jnp.zeros((c,))}
+    conv = np.asarray(common.conv_on_attention(att, kern, h, w))
+    P = np.asarray(common.attention_patches(att, h, w, k))
+    K = np.asarray(kern["w"]).reshape(k * k, c)
+    np.testing.assert_allclose(P @ K, conv, rtol=1e-5, atol=1e-6)
 
 
 def test_att_softmax_readout_uniform():
