@@ -61,17 +61,18 @@ def _flops_of(jfn, args):
         return 0.0
 
 
-def bench_fused_eval():
+def bench_fused_eval(batch_sizes=(256, 1024)):
+    """Throughput sweep over serving batch size. The decode/encode scans
+    re-stream the LSTM weight matrices from HBM every sequential step
+    with no cross-step reuse, so larger serving batches amortize that
+    traffic over more questions — batch is a legitimate serving knob the
+    reference (fixed batch 64, eval_clevr.py:33) never had."""
     from __graft_entry__ import entry
     from n2nmn_tpu.tools.flops import flagship_eval_flops_per_question
 
     fn, (params, text_seq, seq_length, image_feat, rng) = entry()
-    n, t_enc = 256, text_seq.shape[0]
+    t_enc = text_seq.shape[0]
     key = jax.random.PRNGKey(0)
-    text_seq = jax.random.randint(key, (t_enc, n), 0, 82, jnp.int32)
-    seq_length = jnp.full((n,), t_enc, jnp.int32)
-    image_feat = jax.random.normal(
-        key, (n,) + image_feat.shape[1:], jnp.float32)
 
     # bf16 serving mode by default. Verified on trained snapshots
     # (tools/bf16_check.py artifacts in exp_clevr_mini/results/):
@@ -80,19 +81,30 @@ def bench_fused_eval():
     # 4 decimals. Synthetic-SHAPES model: fully bit-identical.
     if BF16:
         params = _cast_bf16(params)
-        image_feat = image_feat.astype(jnp.bfloat16)
 
     jfn = jax.jit(fn)
-    args = (params, text_seq, seq_length, image_feat, rng)
-    dt = _timeit(jfn, args, iters=20)
+    flops_q = flagship_eval_flops_per_question(
+        _flagship_model().cfg.netgen, T_enc=t_enc)
+    per_batch = {}
+    best = None
+    for n in batch_sizes:
+        ts = jax.random.randint(key, (t_enc, n), 0, 82, jnp.int32)
+        sl = jnp.full((n,), t_enc, jnp.int32)
+        feat = jax.random.normal(key, (n,) + image_feat.shape[1:],
+                                 jnp.bfloat16 if BF16 else jnp.float32)
+        args = (params, ts, sl, feat, rng)
+        dt = _timeit(jfn, args, iters=20)
+        qps = n / dt
+        per_batch[n] = qps
+        if best is None or qps > best[1]:
+            best = (n, qps, args)
+    n, qps, args = best
     # analytic FLOPs (XLA's cost_analysis counts scan bodies once instead
     # of trip-count times — ~5x under on this scan-heavy program; kept as
     # a secondary diagnostic)
-    flops_q = flagship_eval_flops_per_question(
-        _flagship_model().cfg.netgen, T_enc=t_enc)
     xla_flops_q = _flops_of(jfn, args) / n
-    qps = n / dt
-    return qps, (flops_q * n / dt) / V5E_BF16_PEAK_FLOPS, flops_q, xla_flops_q
+    mfu = (flops_q * qps) / V5E_BF16_PEAK_FLOPS
+    return qps, mfu, flops_q, xla_flops_q, n, per_batch
 
 
 def bench_two_phase_baseline():
@@ -237,7 +249,8 @@ def bench_from_images():
 
 
 def main():
-    qps, mfu, flops_per_q, xla_flops_q = bench_fused_eval()
+    (qps, mfu, flops_per_q, xla_flops_q, best_n,
+     per_batch) = bench_fused_eval()
     baseline = bench_two_phase_baseline()
     train = bench_train_steps()
     img_qps, img_mfu = bench_from_images()
@@ -264,6 +277,9 @@ def main():
         "h2d_mb_per_s": round(h2d, 1),
         "tf1_estimate_qps": TF1_GPU_ESTIMATE_QPS,
         "mfu": round(mfu, 4),
+        "eval_batch": best_n,
+        "qps_per_batch": {str(k): round(v, 1)
+                          for k, v in per_batch.items()},
         "flops_per_question_gflop": round(flops_per_q / 1e9, 3),
         "flops_method": "analytic (tools/flops.py); XLA cost_analysis "
                         "counts scan bodies once and under-reports",

@@ -1,0 +1,142 @@
+"""Batched serving runtime: question(+image) -> answer with one compiled
+program per batch shape.
+
+New capability over the reference (which only has offline eval loops,
+exp_clevr/eval_clevr.py): a production-style request path —
+requests accumulate into a fixed-size padded batch (one XLA program, no
+recompiles), partial batches are padded with the `weight`-style mask the
+training stack already uses, and the server reports latency percentiles.
+Works with feature-grid models and the end-to-end --from_images models
+(in-graph VGG/ResNet backbones).
+
+Library use:
+    server = NMNServer(model, params, batch_size=64)
+    answers = server.answer(text_seq, seq_length, images)   # any count
+
+CLI demo (synthetic requests, measures latency):
+    python -m n2nmn_tpu.tools.serve --batch_size 64 --num_requests 512
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from n2nmn_tpu.train.steps import make_eval_step
+
+
+class NMNServer:
+    """Fixed-shape batched inference over an NMNModel.
+
+    Every call runs ceil(n / batch_size) invocations of ONE jitted
+    program; the final partial batch is padded (padding rows produce
+    garbage answers that are sliced off — validity masking inside the
+    model keeps them from causing NaNs, same mechanism as training's
+    weight mask).
+    """
+
+    def __init__(self, model, params, batch_size=64, answer_words=None):
+        self.model = model
+        self.params = params
+        self.batch_size = batch_size
+        self.answer_words = answer_words
+        self._eval_step = make_eval_step(model)
+        self._rng = jax.random.PRNGKey(0)
+
+    def warmup(self, t_enc, image_shape):
+        """Compile the serving program ahead of the first request."""
+        n = self.batch_size
+        batch = {
+            "text_seq": jnp.zeros((t_enc, n), jnp.int32),
+            "seq_length": jnp.ones((n,), jnp.int32),
+            "image": jnp.zeros((n,) + tuple(image_shape), jnp.float32),
+        }
+        jax.block_until_ready(self._eval_step(self.params, batch,
+                                              self._rng)["predictions"])
+
+    def answer_batch(self, text_seq, seq_length, images):
+        """One padded batch. text_seq: [T, n<=B]; images: [n<=B, ...].
+        Returns dict of numpy arrays sliced to n."""
+        t, n = text_seq.shape
+        b = self.batch_size
+        assert n <= b, f"batch of {n} exceeds serving batch size {b}"
+        if n < b:
+            text_seq = np.pad(text_seq, ((0, 0), (0, b - n)))
+            seq_length = np.pad(seq_length, (0, b - n),
+                                constant_values=1)
+            images = np.pad(images,
+                            ((0, b - n),) + ((0, 0),) * (images.ndim - 1))
+        out = self._eval_step(self.params, {
+            "text_seq": jnp.asarray(text_seq),
+            "seq_length": jnp.asarray(seq_length),
+            "image": jnp.asarray(images),
+        }, self._rng)
+        preds = np.asarray(out["predictions"])[:n]
+        res = {
+            "predictions": preds,
+            "validity": np.asarray(out["validity"])[:n],
+            "tokens": np.asarray(out["tokens"])[:, :n],
+        }
+        if self.answer_words is not None:
+            res["answers"] = [self.answer_words[p] for p in preds]
+        return res
+
+    def answer(self, text_seq, seq_length, images):
+        """Any number of requests; chunks into serving batches."""
+        t, n = text_seq.shape
+        outs = []
+        for i in range(0, n, self.batch_size):
+            j = min(i + self.batch_size, n)
+            outs.append(self.answer_batch(
+                text_seq[:, i:j], seq_length[i:j], images[i:j]))
+        return {
+            "predictions": np.concatenate(
+                [o["predictions"] for o in outs]),
+            "validity": np.concatenate([o["validity"] for o in outs]),
+        }
+
+
+def _demo():
+    import argparse
+    import bench
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--num_requests", type=int, default=512)
+    p.add_argument("--t_enc", type=int, default=45)
+    args = p.parse_args()
+
+    model = bench._flagship_model()
+    params = model.init(jax.random.PRNGKey(0))
+    if bench.BF16:
+        params = bench._cast_bf16(params)
+    server = NMNServer(model, params, batch_size=args.batch_size)
+    cfg = model.cfg
+    img_shape = (cfg.H_feat, cfg.W_feat, cfg.D_feat)
+    server.warmup(args.t_enc, img_shape)
+
+    rng = np.random.RandomState(0)
+    lat = []
+    for _ in range(args.num_requests // args.batch_size):
+        text = rng.randint(0, 82, size=(args.t_enc, args.batch_size)
+                           ).astype(np.int32)
+        sl = np.full((args.batch_size,), args.t_enc, np.int32)
+        imgs = rng.randn(args.batch_size, *img_shape).astype(np.float32)
+        t0 = time.perf_counter()
+        server.answer_batch(text, sl, imgs)
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat = np.sort(np.asarray(lat))
+    print({
+        "batch_size": args.batch_size,
+        "batches": len(lat),
+        "p50_ms": round(float(np.percentile(lat, 50)), 2),
+        "p99_ms": round(float(np.percentile(lat, 99)), 2),
+        "qps": round(args.batch_size / (np.mean(lat) / 1e3), 1),
+    })
+
+
+if __name__ == "__main__":
+    _demo()

@@ -1,0 +1,60 @@
+"""Batched serving runtime: padding correctness (a padded partial batch
+must answer identically to the same requests in a full batch) and
+multi-batch chunking."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from n2nmn_tpu.layout.grammar import ModuleGrammar
+from n2nmn_tpu.models.netgen import NetgenConfig
+from n2nmn_tpu.models.nmn import NMNConfig, NMNModel
+from n2nmn_tpu.tools.serve import NMNServer
+
+VOCAB = ["_Find", "_Transform", "_And", "_Answer", "<eos>"]
+
+
+def _tiny_model():
+    grammar = ModuleGrammar(VOCAB)
+    net_cfg = NetgenConfig(
+        num_vocab_txt=12, embed_dim_txt=8, num_vocab_nmn=grammar.num_vocab,
+        embed_dim_nmn=8, lstm_dim=16, num_layers=1, T_decoder=5,
+        decoder_sampling=False, mask_mode="grammar")
+    cfg = NMNConfig(flavor="shapes", netgen=net_cfg, num_choices=2,
+                    H_feat=3, W_feat=3, D_feat=6)
+    model = NMNModel(cfg, grammar)
+    return model, model.init(jax.random.PRNGKey(0))
+
+
+def test_partial_batch_padding_matches_full_batch():
+    model, params = _tiny_model()
+    server = NMNServer(model, params, batch_size=8)
+    rng = np.random.RandomState(0)
+    t_enc, n = 6, 5
+    text = rng.randint(0, 12, size=(t_enc, 8)).astype(np.int32)
+    sl = np.full((8,), t_enc, np.int32)
+    imgs = rng.randn(8, 3, 3, 6).astype(np.float32)
+
+    full = server.answer_batch(text, sl, imgs)
+    partial = server.answer_batch(text[:, :n], sl[:n], imgs[:n])
+    np.testing.assert_array_equal(partial["predictions"],
+                                  full["predictions"][:n])
+    np.testing.assert_array_equal(partial["validity"],
+                                  full["validity"][:n])
+
+
+def test_answer_chunks_many_requests():
+    model, params = _tiny_model()
+    server = NMNServer(model, params, batch_size=4)
+    rng = np.random.RandomState(1)
+    t_enc, n = 6, 11          # 2 full batches + partial of 3
+    text = rng.randint(0, 12, size=(t_enc, n)).astype(np.int32)
+    sl = np.full((n,), t_enc, np.int32)
+    imgs = rng.randn(n, 3, 3, 6).astype(np.float32)
+
+    out = server.answer(text, sl, imgs)
+    assert out["predictions"].shape == (n,)
+    # chunking must agree with one-shot batching through a big server
+    big = NMNServer(model, params, batch_size=16)
+    ref = big.answer_batch(text, sl, imgs)
+    np.testing.assert_array_equal(out["predictions"], ref["predictions"])
