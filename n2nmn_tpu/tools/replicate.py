@@ -138,7 +138,8 @@ def run_mini_clevr(seed, out_file, root="./exp_clevr_mini", smoke=False):
 
 
 def summarize(out_file):
-    """Collect the selected-by-val test results into mean±std per family."""
+    """Collect the selected-by-val test results into mean±std per family
+    (+ a ready-to-paste markdown table for the README)."""
     rows = [json.loads(l) for l in open(out_file)]
     fams = {}
     for r in rows:
@@ -150,6 +151,11 @@ def summarize(out_file):
                    "values": v}
                for f, v in sorted(fams.items())}
     print(json.dumps(summary, indent=2))
+    print("\n| config | test answer acc (mean ± std, n seeds, "
+          "snapshots selected on val) |\n|---|---|")
+    for f, s in summary.items():
+        print(f"| {f} | {100 * s['mean']:.1f} ± {100 * s['std']:.1f}% "
+              f"(n={s['n_seeds']}) |")
     return summary
 
 

@@ -38,22 +38,42 @@ class NMNServer:
     weight mask).
     """
 
-    def __init__(self, model, params, batch_size=64, answer_words=None):
+    def __init__(self, model, params, batch_size=64, answer_words=None,
+                 mesh=None, use_tp=True):
+        """mesh: optional jax.sharding.Mesh for multi-chip serving — the
+        batch shards along its 'dp' axis and the big embedding/answer
+        matrices along 'tp' (parallel/mesh.py rules); XLA inserts the
+        collectives. batch_size must divide by the dp size."""
         self.model = model
-        self.params = params
         self.batch_size = batch_size
         self.answer_words = answer_words
+        self.mesh = mesh
+        if mesh is not None:
+            from n2nmn_tpu.parallel.mesh import param_shardings
+            assert batch_size % mesh.shape["dp"] == 0, \
+                (batch_size, dict(mesh.shape))
+            self.params = jax.tree_util.tree_map(
+                jax.device_put, params,
+                param_shardings(params, mesh, use_tp=use_tp))
+        else:
+            self.params = params
         self._eval_step = make_eval_step(model)
         self._rng = jax.random.PRNGKey(0)
+
+    def _put(self, batch):
+        if self.mesh is None:
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+        from n2nmn_tpu.parallel.mesh import shard_batch
+        return shard_batch(batch, self.mesh)
 
     def warmup(self, t_enc, image_shape):
         """Compile the serving program ahead of the first request."""
         n = self.batch_size
-        batch = {
-            "text_seq": jnp.zeros((t_enc, n), jnp.int32),
-            "seq_length": jnp.ones((n,), jnp.int32),
-            "image": jnp.zeros((n,) + tuple(image_shape), jnp.float32),
-        }
+        batch = self._put({
+            "text_seq": np.zeros((t_enc, n), np.int32),
+            "seq_length": np.ones((n,), np.int32),
+            "image": np.zeros((n,) + tuple(image_shape), np.float32),
+        })
         jax.block_until_ready(self._eval_step(self.params, batch,
                                               self._rng)["predictions"])
 
@@ -69,11 +89,11 @@ class NMNServer:
                                 constant_values=1)
             images = np.pad(images,
                             ((0, b - n),) + ((0, 0),) * (images.ndim - 1))
-        out = self._eval_step(self.params, {
-            "text_seq": jnp.asarray(text_seq),
-            "seq_length": jnp.asarray(seq_length),
-            "image": jnp.asarray(images),
-        }, self._rng)
+        out = self._eval_step(self.params, self._put({
+            "text_seq": np.asarray(text_seq),
+            "seq_length": np.asarray(seq_length),
+            "image": np.asarray(images),
+        }), self._rng)
         preds = np.asarray(out["predictions"])[:n]
         res = {
             "predictions": preds,

@@ -43,6 +43,28 @@ def test_partial_batch_padding_matches_full_batch():
                                   full["validity"][:n])
 
 
+def test_mesh_sharded_serving_matches_single_device():
+    """dp x tp sharded serving on the 8-device virtual mesh must produce
+    the same predictions as single-device serving."""
+    from n2nmn_tpu.parallel.mesh import make_mesh
+
+    model, params = _tiny_model()
+    rng = np.random.RandomState(2)
+    t_enc, b = 6, 8
+    text = rng.randint(0, 12, size=(t_enc, b)).astype(np.int32)
+    sl = np.full((b,), t_enc, np.int32)
+    imgs = rng.randn(b, 3, 3, 6).astype(np.float32)
+
+    single = NMNServer(model, params, batch_size=b)
+    ref = single.answer_batch(text, sl, imgs)
+
+    mesh = make_mesh(n_dp=4, n_tp=2)
+    sharded = NMNServer(model, params, batch_size=b, mesh=mesh)
+    got = sharded.answer_batch(text, sl, imgs)
+    np.testing.assert_array_equal(got["predictions"], ref["predictions"])
+    np.testing.assert_array_equal(got["validity"], ref["validity"])
+
+
 def test_answer_chunks_many_requests():
     model, params = _tiny_model()
     server = NMNServer(model, params, batch_size=4)
