@@ -74,6 +74,61 @@ def build_tables(grammar: ModuleGrammar, att_names: Sequence[str],
     )
 
 
+def token_precompute(tokens: jnp.ndarray, tables: ExecutorTables, S: int,
+                     dtype=jnp.float32):
+    """Everything that depends on the emitted tokens but NOT on the stack,
+    as one batched pass (measured: the in-scan automaton + table gathers
+    cost as much as the module math itself — ~40% of executor time — from
+    per-op dispatch overhead on ~tiny [N] tensors, T times per program).
+
+    Returns a dict of [T, N(, ...)] arrays:
+      is_att/is_ans/use_sub, att_oh/ans_oh (one-hot branch selectors),
+      top_idx/sub_idx/push_pos (stack index trajectories), and the final
+      per-example `validity` [N].
+
+    The validity automaton (same X@W-b>=0 machine as the decoder mask)
+    evolves additively (X_{t+1} = X_t + P[tok_t]), so its whole
+    trajectory is an exclusive cumsum — no recurrence. Likewise the stack
+    pointer: ptr_{t+1} = ptr_t + is_att_t - arity_t. The grammar
+    guarantees valid programs never underflow/overflow, so the unclipped
+    cumsum equals the reference's clipped evolution for every valid
+    program; invalid programs may derive garbage (clipped into range)
+    stack indices, but their scores are zeroed by `validity` exactly as
+    the reference's dummy answer (nmn3_model.py:146-155), so the values
+    never surface.
+    """
+    T, _ = tokens.shape
+    arity_all = tables.arity[tokens]                      # [T, N]
+    is_att_all = tables.is_att[tokens]
+    is_ans_all = tables.is_ans[tokens]
+    att_oh_all = jax.nn.one_hot(tables.att_slot[tokens], tables.num_att,
+                                dtype=dtype)              # [T, N, Ma]
+    ans_oh_all = jax.nn.one_hot(tables.ans_slot[tokens], tables.num_ans,
+                                dtype=dtype)              # [T, N, Mb]
+
+    P_tok = tables.P[tokens]                              # [T, N, 3]
+    X0 = jnp.array([0, 0, T], jnp.int32)
+    X_before = X0[None, None, :] + jnp.cumsum(P_tok, axis=0) - P_tok
+    W_tok = jnp.transpose(tables.W, (1, 0, 2))[tokens]    # [T, N, 3, 4]
+    cons = jnp.einsum("tns,tnsc->tnc", X_before, W_tok) \
+        - tables.b[tokens]                                # [T, N, 4]
+    tok_valid = jnp.all(cons >= 0, axis=2)                # [T, N]
+    validity = jnp.logical_and(jnp.all(tok_valid, axis=0),
+                               jnp.any(tokens == tables.eos_idx, axis=0))
+
+    delta = is_att_all.astype(jnp.int32) - arity_all
+    ptr_before = jnp.cumsum(delta, axis=0) - delta        # [T, N]
+    return {
+        "is_att": is_att_all, "is_ans": is_ans_all,
+        "att_oh": att_oh_all, "ans_oh": ans_oh_all,
+        "top_idx": jnp.clip(ptr_before - 1, 0, S - 1),
+        "sub_idx": jnp.clip(ptr_before - 2, 0, S - 1),
+        "push_pos": jnp.clip(ptr_before - arity_all, 0, S - 1),
+        "use_sub": arity_all == 2,
+        "validity": validity,
+    }
+
+
 # A branch fn maps (pre_static, pre_step_t, in0, in1, t) -> output.
 # in0/in1 are flattened attention maps [N, HW]; att branches return
 # [N, HW], ans branches return [N, num_choices].
@@ -118,45 +173,12 @@ def execute_layout(tokens: jnp.ndarray,
             dtype = leaf.dtype
             break
 
-    # ---- token-only precompute: everything that depends on the emitted
-    # tokens but NOT on the stack hoists out of the scan as one batched
-    # pass (measured: the in-scan automaton + table gathers cost as much
-    # as the module math itself — ~40% of executor time — from per-op
-    # dispatch overhead on ~tiny [N] tensors, 20x per program).
-    arity_all = tables.arity[tokens]                      # [T, N]
-    is_att_all = tables.is_att[tokens]
-    is_ans_all = tables.is_ans[tokens]
-    att_oh_all = jax.nn.one_hot(tables.att_slot[tokens], tables.num_att,
-                                dtype=dtype)              # [T, N, Ma]
-    ans_oh_all = jax.nn.one_hot(tables.ans_slot[tokens], tables.num_ans,
-                                dtype=dtype)              # [T, N, Mb]
-
-    # validity automaton (same X@W-b>=0 machine as the decoder mask):
-    # X evolves additively (X_{t+1} = X_t + P[tok_t]), so the whole
-    # trajectory is an exclusive cumsum — no recurrence needed.
-    P_tok = tables.P[tokens]                              # [T, N, 3]
-    X0 = jnp.array([0, 0, T], jnp.int32)
-    X_before = X0[None, None, :] + jnp.cumsum(P_tok, axis=0) - P_tok
-    W_tok = jnp.transpose(tables.W, (1, 0, 2))[tokens]    # [T, N, 3, 4]
-    cons = jnp.einsum("tns,tnsc->tnc", X_before, W_tok) \
-        - tables.b[tokens]                                # [T, N, 4]
-    tok_valid = jnp.all(cons >= 0, axis=2)                # [T, N]
-    validity = jnp.logical_and(jnp.all(tok_valid, axis=0),
-                               jnp.any(tokens == tables.eos_idx, axis=0))
-
-    # stack pointer trajectory: ptr_{t+1} = ptr_t + is_att_t - arity_t.
-    # The grammar guarantees valid programs never underflow/overflow, so
-    # the unclipped cumsum equals the reference's clipped evolution for
-    # every valid program; invalid programs may derive garbage (clipped
-    # into range) stack indices, but their scores are zeroed by
-    # `validity` below exactly as the reference's dummy answer
-    # (nmn3_model.py:146-155), so the values never surface.
-    delta = is_att_all.astype(jnp.int32) - arity_all
-    ptr_before = jnp.cumsum(delta, axis=0) - delta        # [T, N]
-    top_idx_all = jnp.clip(ptr_before - 1, 0, S - 1)
-    sub_idx_all = jnp.clip(ptr_before - 2, 0, S - 1)
-    push_pos_all = jnp.clip(ptr_before - arity_all, 0, S - 1)
-    use_sub_all = arity_all == 2
+    pre_tok = token_precompute(tokens, tables, S, dtype)
+    (is_att_all, is_ans_all, att_oh_all, ans_oh_all, top_idx_all,
+     sub_idx_all, push_pos_all, use_sub_all, validity) = (
+        pre_tok["is_att"], pre_tok["is_ans"], pre_tok["att_oh"],
+        pre_tok["ans_oh"], pre_tok["top_idx"], pre_tok["sub_idx"],
+        pre_tok["push_pos"], pre_tok["use_sub"], pre_tok["validity"])
 
     stack0 = jnp.zeros((N, S, hw), dtype)
     scores0 = jnp.zeros((N, num_choices), dtype)

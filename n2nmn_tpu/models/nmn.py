@@ -87,6 +87,16 @@ class NMNModel:
             "eos_idx": grammar.eos_idx,
         }
 
+    def _use_fused_executor(self, deterministic: bool) -> bool:
+        """Serving-only fused Pallas executor (no VJP): opt-in via
+        N2NMN_FUSED_EXECUTOR=1, CLEVR library, deterministic forward,
+        conv-form _Transform precompute."""
+        import os
+        from n2nmn_tpu.models.modules import common
+        return (os.environ.get("N2NMN_FUSED_EXECUTOR", "0") == "1"
+                and self.cfg.flavor == "clevr" and deterministic
+                and common.TRANSFORM_IMPL == "conv")
+
     def init(self, key, dtype=jnp.float32):
         cfg = self.cfg
         k_net, k_mod, k_cnn, k_qpn, k_red = jax.random.split(key, 5)
@@ -163,16 +173,30 @@ class NMNModel:
 
         pre_static, pre_step = self.lib.precompute(
             params["modules"], image_feat, net_out.word_vecs)
-        att_branches, ans_branches = self.lib.make_branches(params["modules"])
-        make_shared = getattr(self.lib, "make_step_shared", None)
 
-        scores, validity = execute_layout(
-            net_out.tokens, self.tables, att_branches, ans_branches,
-            pre_static, pre_step,
-            hw=cfg.H_feat * cfg.W_feat, num_choices=cfg.num_choices,
-            stack_size=cfg.netgen.T_decoder,
-            step_shared=make_shared(params["modules"]) if make_shared
-            else None)
+        if self._use_fused_executor(deterministic):
+            # serving path: ONE pallas_call replaces the executor scan
+            # (ops/pallas/executor_step.py) — module tensors stay
+            # VMEM-resident across all decoder steps
+            from n2nmn_tpu.ops.pallas.executor_step import (
+                execute_layout_clevr_fused)
+            scores, validity = execute_layout_clevr_fused(
+                net_out.tokens, self.tables, params["modules"],
+                pre_static, pre_step,
+                hw=cfg.H_feat * cfg.W_feat, num_choices=cfg.num_choices,
+                stack_size=cfg.netgen.T_decoder,
+                h=cfg.H_feat, w=cfg.W_feat)
+        else:
+            att_branches, ans_branches = self.lib.make_branches(
+                params["modules"])
+            make_shared = getattr(self.lib, "make_step_shared", None)
+            scores, validity = execute_layout(
+                net_out.tokens, self.tables, att_branches, ans_branches,
+                pre_static, pre_step,
+                hw=cfg.H_feat * cfg.W_feat, num_choices=cfg.num_choices,
+                stack_size=cfg.netgen.T_decoder,
+                step_shared=make_shared(params["modules"]) if make_shared
+                else None)
 
         if cfg.use_qpn:
             scores_qpn = apply_qpn(params["qpn"], net_out.encoder_h_final,
