@@ -79,14 +79,25 @@ def encode_sequence(params, embedded_seq, seq_length, dropout_key=None,
     Semantics replicated from dynamic_rnn with sequence_length: outputs at
     t >= seq_length are zero and the state stops updating there.
 
+    Layer 0's input projection is hoisted out of the scan: the cell
+    weight [(E+D), 4D] splits as [x, h] @ W = x @ W_x + h @ W_h, and
+    x @ W_x for ALL T steps is one batched MXU matmul instead of T
+    sequential small ones (identical math; the higher layers' inputs are
+    sequential and stay in-scan).
+
     Returns (outputs [T, N, D], final_state (c, h) each [L, N, D]).
     """
-    T, N, _ = embedded_seq.shape
+    T, N, E = embedded_seq.shape
     num_layers = len(params["cells"])
     hidden = params["cells"][0]["w"].shape[1] // 4
     dtype = embedded_seq.dtype
     c0 = jnp.zeros((num_layers, N, hidden), dtype)
     h0 = jnp.zeros((num_layers, N, hidden), dtype)
+
+    cell0 = params["cells"][0]
+    w_x, w_h = cell0["w"][:E], cell0["w"][E:]
+    x_proj = (embedded_seq.reshape(T * N, E) @ w_x).reshape(T, N, -1) \
+        + cell0["b"]
 
     if deterministic:
         step_keys = jnp.zeros((T, 2), jnp.uint32)
@@ -97,11 +108,27 @@ def encode_sequence(params, embedded_seq, seq_length, dropout_key=None,
 
     def step(carry, xs):
         c, h = carry
-        x_t, t, key = xs
-        out, (nc, nh) = lstm_stack_step(
-            params, x_t, (c, h),
-            dropout_key=None if deterministic else key,
-            deterministic=deterministic)
+        xp_t, t, key = xs
+        drop_key = key
+        # layer 0: precomputed input projection + recurrent part
+        gates = xp_t + jnp.dot(h[0], w_h,
+                               preferred_element_type=h.dtype)
+        i, j, f, o = jnp.split(gates, 4, axis=-1)
+        nc0 = c[0] * jax.nn.sigmoid(f + 1.0) \
+            + jax.nn.sigmoid(i) * jnp.tanh(j)
+        nh0 = jnp.tanh(nc0) * jax.nn.sigmoid(o)
+        new_c, new_h = [nc0], [nh0]
+        out = nh0
+        for l in range(1, num_layers):
+            inp = out
+            if not deterministic:
+                drop_key, sub = jax.random.split(drop_key)
+                inp = dropout(sub, inp, 0.5, deterministic=False)
+            cl, hl = lstm_cell_step(params["cells"][l], inp, c[l], h[l])
+            new_c.append(cl)
+            new_h.append(hl)
+            out = hl
+        nc, nh = jnp.stack(new_c), jnp.stack(new_h)
         active = (t < seq_length)[None, :, None]          # [1, N, 1]
         nc = jnp.where(active, nc, c)
         nh = jnp.where(active, nh, h)
@@ -109,5 +136,5 @@ def encode_sequence(params, embedded_seq, seq_length, dropout_key=None,
         return (nc, nh), out
 
     (cf, hf), outputs = jax.lax.scan(step, (c0, h0),
-                                     (embedded_seq, t_idx, step_keys))
+                                     (x_proj, t_idx, step_keys))
     return outputs, (cf, hf)
