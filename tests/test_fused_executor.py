@@ -77,6 +77,43 @@ def test_fused_invalid_programs_zeroed():
                                        rtol=2e-4, atol=2e-5)
 
 
+def test_env_gate_routes_model_apply_through_fused(monkeypatch):
+    """N2NMN_FUSED_EXECUTOR=1 must route NMNModel.apply's deterministic
+    CLEVR forward through the kernel and agree with the default path."""
+    from n2nmn_tpu.models.netgen import NetgenConfig
+    from n2nmn_tpu.models.nmn import NMNConfig, NMNModel
+
+    grammar = ModuleGrammar(CLEVR_VOCAB)
+    net_cfg = NetgenConfig(
+        num_vocab_txt=20, embed_dim_txt=12, num_vocab_nmn=grammar.num_vocab,
+        embed_dim_nmn=12, lstm_dim=24, num_layers=1, T_decoder=6,
+        decoder_sampling=False, mask_mode="grammar")
+    cfg = NMNConfig(flavor="clevr", netgen=net_cfg, num_choices=9,
+                    H_feat=3, W_feat=4, D_feat=10)
+    model = NMNModel(cfg, grammar)
+    params = model.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    text = jax.random.randint(key, (7, 6), 0, 20, jnp.int32)
+    sl = jnp.full((6,), 7, jnp.int32)
+    feat = jax.random.normal(key, (6, 3, 4, 10))
+    rng = jax.random.PRNGKey(2)
+
+    out_default = model.apply(params, text, sl, feat, rng,
+                              deterministic=True)
+    monkeypatch.setenv("N2NMN_FUSED_EXECUTOR", "1")
+    assert model._use_fused_executor(True)
+    assert not model._use_fused_executor(False)   # training keeps XLA
+    out_fused = model.apply(params, text, sl, feat, rng,
+                            deterministic=True)
+    np.testing.assert_array_equal(np.asarray(out_fused.tokens),
+                                  np.asarray(out_default.tokens))
+    np.testing.assert_array_equal(np.asarray(out_fused.validity),
+                                  np.asarray(out_default.validity))
+    np.testing.assert_allclose(np.asarray(out_fused.scores),
+                               np.asarray(out_default.scores),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_fused_batch_padding():
     """N not divisible by the kernel batch block must pad + slice."""
     (grammar, params, tables, pre_static, pre_step, dims) = _setup(N=5)

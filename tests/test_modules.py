@@ -86,6 +86,39 @@ def test_transform_dot_matches_conv_form(h, w, k, map_dim):
         np.testing.assert_allclose(got, ref, rtol=5e-5, atol=5e-6)
 
 
+def test_transform_dot_gradients_match_conv_form():
+    """Both _Transform implementations must produce the same gradients
+    w.r.t. the attention input, the conv kernel, and the text map — the
+    dot form is usable in training, not just serving."""
+    key = jax.random.PRNGKey(21)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    h, w, k, map_dim, N = 4, 5, 3, 16, 3
+    att = jax.random.normal(k1, (N, h * w))
+    txt = jax.random.normal(k2, (1, N, map_dim))
+    conv_params = {"w": jax.random.normal(k3, (k, k, 1, map_dim)) * 0.3,
+                   "b": jax.random.normal(k4, (map_dim,)) * 0.1}
+    proj = {"w": jax.random.normal(k1, (map_dim, 1)),
+            "b": jnp.asarray([0.7])}
+
+    def loss_conv(att, conv_params, txt):
+        maps = common.conv_on_attention(att, conv_params, h, w)
+        elt = l2_normalize(maps * txt[0][:, None, :], axis=2)
+        return jnp.sum(common.project_to_att(elt, proj) ** 2)
+
+    def loss_dot(att, conv_params, txt):
+        pre_t_all = common.transform_dot_precompute(conv_params, proj, txt)
+        pre_t = {kk: v[0] for kk, v in pre_t_all.items()}
+        return jnp.sum(
+            common.transform_dot_apply(att, pre_t, proj, h, w, k) ** 2)
+
+    g_conv = jax.grad(loss_conv, argnums=(0, 1, 2))(att, conv_params, txt)
+    g_dot = jax.grad(loss_dot, argnums=(0, 1, 2))(att, conv_params, txt)
+    for gc, gd in zip(jax.tree_util.tree_leaves(g_conv),
+                      jax.tree_util.tree_leaves(g_dot)):
+        np.testing.assert_allclose(np.asarray(gd), np.asarray(gc),
+                                   rtol=5e-4, atol=5e-6)
+
+
 def test_attention_patches_order_matches_conv():
     """attention_patches channel order must match HWIO kernel reshape:
     patches @ K.reshape(k*k, C) == conv(att, K)."""
