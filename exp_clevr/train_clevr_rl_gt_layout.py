@@ -13,6 +13,9 @@ parser.add_argument("--max_iter", type=int, default=None)
 parser.add_argument("--seed", type=int, default=0)
 parser.add_argument("--exp_name", type=str, default="clevr_rl_gt_layout")
 parser.add_argument("--data_root", type=str, default=None)
+parser.add_argument("--from_images", action="store_true",
+                    help="raw images via in-graph frozen VGG pool5")
+parser.add_argument("--vgg_weights", type=str, default=None)
 args = parser.parse_args()
 
 from n2nmn_tpu.experiments import clevr
@@ -22,5 +25,7 @@ if args.max_iter is not None:
     overrides["max_iter"] = args.max_iter
 if args.data_root is not None:
     overrides["root"] = args.data_root
+if args.from_images:
+    overrides.update(from_images=True, vgg_weights=args.vgg_weights)
 cfg = clevr.rl_config(**overrides)
 clevr.train(cfg, pretrained_model=args.pretrained_model)

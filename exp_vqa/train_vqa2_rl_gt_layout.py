@@ -9,6 +9,9 @@ parser.add_argument("--pretrained_model", type=str,
 parser.add_argument("--max_iter", type=int, default=None)
 parser.add_argument("--exp_name", type=str, default="vqa2_rl_gt_layout")
 parser.add_argument("--data_root", type=str, default=None)
+parser.add_argument("--from_images", action="store_true",
+                    help="raw COCO images via in-graph frozen ResNet-152")
+parser.add_argument("--resnet_weights", type=str, default=None)
 args = parser.parse_args()
 from n2nmn_tpu.experiments import vqa
 cfg = vqa.rl_config(exp_name=args.exp_name)
@@ -19,4 +22,7 @@ if args.max_iter is not None:
     cfg = dataclasses.replace(cfg, max_iter=args.max_iter)
 if args.data_root is not None:
     cfg = dataclasses.replace(cfg, root=args.data_root)
+if args.from_images:
+    cfg = dataclasses.replace(cfg, from_images=True,
+                              resnet_weights=args.resnet_weights)
 vqa.train(cfg, pretrained_model=args.pretrained_model)
