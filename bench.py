@@ -280,6 +280,12 @@ def main():
         "eval_batch": best_n,
         "qps_per_batch": {str(k): round(v, 1)
                           for k, v in per_batch.items()},
+        # non-monotone qps over the batch sweep means throughput REGRESSES
+        # at larger serving batches (round-2: decode scan anti-scaling) —
+        # keep this loud until the sweep is monotone
+        "qps_monotone_in_batch": bool(all(
+            per_batch[a] <= per_batch[b] for a, b in zip(
+                sorted(per_batch), sorted(per_batch)[1:]))),
         "flops_per_question_gflop": round(flops_per_q / 1e9, 3),
         "flops_method": "analytic (tools/flops.py); XLA cost_analysis "
                         "counts scan bodies once and under-reports",

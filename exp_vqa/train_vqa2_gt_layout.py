@@ -7,6 +7,9 @@ parser.add_argument("--gpu_id", type=int, default=0)
 parser.add_argument("--max_iter", type=int, default=None)
 parser.add_argument("--exp_name", type=str, default="vqa2_gt_layout")
 parser.add_argument("--data_root", type=str, default=None)
+parser.add_argument("--imdb_trn", type=str, default=None,
+                    help="training imdb path relative to the data root "
+                         "(e.g. data/imdb/imdb_trn.npy for mini-VQA)")
 parser.add_argument("--from_images", action="store_true",
                     help="train on raw COCO images via in-graph frozen "
                          "ResNet-152 res5c (no 307 GB feature dump)")
@@ -21,6 +24,8 @@ if args.max_iter is not None:
     cfg = dataclasses.replace(cfg, max_iter=args.max_iter)
 if args.data_root is not None:
     cfg = dataclasses.replace(cfg, root=args.data_root)
+if args.imdb_trn is not None:
+    cfg = dataclasses.replace(cfg, imdb_trn=args.imdb_trn)
 if args.from_images:
     cfg = dataclasses.replace(cfg, from_images=True,
                               resnet_weights=args.resnet_weights)

@@ -120,14 +120,34 @@ def build_model(cfg: VqaConfig, sampling: bool, T_decoder: int = None):
     return NMNModel(model_cfg, grammar), grammar
 
 
+def _load_imdb(cfg: VqaConfig, imdb_file):
+    path = (os.path.join(cfg.root, imdb_file)
+            if not os.path.isabs(imdb_file) else imdb_file)
+    return np.load(path, allow_pickle=True)
+
+
+def infer_feature_dims(cfg: VqaConfig, imdb) -> VqaConfig:
+    """Sync the model's feature-grid dims to the dataset's actual feature
+    shape (peeked from the first record, like the reference reader's
+    probe — vqa_train/data_reader.py:38-39 pattern). Makes the standard
+    exp_vqa drivers run on any feature grid via --data_root (e.g.
+    mini-VQA's 6x6x16) without a config fork."""
+    from n2nmn_tpu.data.imdb import FeatureSource
+    h, w, d = FeatureSource(imdb, cfg.packed_features).feat_shape
+    if (h, w, d) != (cfg.H_feat, cfg.W_feat, cfg.D_feat):
+        cfg = dataclasses.replace(cfg, H_feat=h, W_feat=w, D_feat=d)
+    return cfg
+
+
 def make_reader(cfg: VqaConfig, imdb_file, grammar, shuffle=True,
                 one_pass=False, load_gt_layout=None, T_decoder=None,
                 batch_size=None, **extra):
     return VqaDataReader(
-        os.path.join(cfg.root, imdb_file)
-        if not os.path.isabs(imdb_file) else imdb_file,
+        (os.path.join(cfg.root, imdb_file)
+         if not os.path.isabs(imdb_file) else imdb_file)
+        if isinstance(imdb_file, str) else imdb_file,
         shuffle=shuffle, one_pass=one_pass,
-        batch_size=batch_size or cfg.N,
+        batch_size=batch_size or cfg.N, seed=cfg.seed,
         vocab_question_file=os.path.join(cfg.root, "data",
                                          "vocabulary_vqa.txt"),
         vocab_answer_file=os.path.join(cfg.root, "data",
@@ -176,8 +196,13 @@ def maybe_load_glove(cfg: VqaConfig, params):
 
 def train(cfg: VqaConfig, pretrained_model: Optional[str] = None):
     use_gt = cfg.mode == "cloning"
+    imdb = _load_imdb(cfg, cfg.imdb_trn)
+    if not cfg.from_images:
+        # correct under reduce_visfeat_dim too: cfg.D_feat is the RAW
+        # grid dim there (build_model maps it to D_feat_raw)
+        cfg = infer_feature_dims(cfg, imdb)
     model, grammar = build_model(cfg, sampling=cfg.decoder_sampling)
-    reader = make_reader(cfg, cfg.imdb_trn, grammar, load_gt_layout=True
+    reader = make_reader(cfg, imdb, grammar, load_gt_layout=True
                          if use_gt else None)
 
     key = jax.random.PRNGKey(cfg.seed)
@@ -244,10 +269,17 @@ def evaluate(cfg: VqaConfig, exp_name, snapshot_name, test_split,
              batch_size=50):
     """Greedy eval; masks the <unk> answer with -1e10 and writes the
     VQA-server JSON [{question_id, answer}] (reference eval_vqa.py:96-167).
-    Answer accuracy is NOT computed locally (test-server protocol)."""
-    model, grammar = build_model(cfg, sampling=False)
+    On the real VQA test splits answer accuracy is NOT computable locally
+    (test-server protocol; the reference only prints layout stats); when
+    the imdb carries the 10 human answers (mini-VQA / val splits built
+    with annotations) the official VQA metric is additionally computed
+    via data/vqa_grader.py."""
     imdb_file = f"data/imdb/imdb_{test_split}.npy"
-    reader = make_reader(cfg, imdb_file, grammar, shuffle=False,
+    imdb = _load_imdb(cfg, imdb_file)
+    if not cfg.from_images:
+        cfg = infer_feature_dims(cfg, imdb)
+    model, grammar = build_model(cfg, sampling=False)
+    reader = make_reader(cfg, imdb, grammar, shuffle=False,
                          one_pass=True, batch_size=batch_size)
     loader = reader.batch_loader
     answer_word_list = loader.answer_dict.word_list
@@ -294,6 +326,13 @@ def evaluate(cfg: VqaConfig, exp_name, snapshot_name, test_split,
         "layout_validity": layout_valid / max(num_questions, 1),
         "num_questions": num_questions,
     }
+    if len(imdb) and imdb[0].get("all_answers") is not None:
+        from n2nmn_tpu.data.vqa_grader import grade_predictions
+        graded = grade_predictions(
+            {r["question_id"]: r["answer"]
+             for r in output_qids_answers}, imdb)
+        results["answer_accuracy"] = graded["overall"]
+        results["accuracy_per_type"] = graded["per_type"]
     save_dir = os.path.join(cfg.root, "results", exp_name)
     os.makedirs(save_dir, exist_ok=True)
     with open(os.path.join(save_dir,

@@ -49,13 +49,19 @@ class NMNConfig:
     # The reference's backbones are frozen by construction (features are
     # dumped offline: exp_clevr/data/extract_visual_features_vgg_pool5.py;
     # VQA's 307 GB res5c dump); keep that contract in-graph: stop
-    # gradients at the feature grid and exclude the backbone from L2
-    # decay (train/steps.py). Set False to fine-tune.
-    freeze_vgg: bool = True
+    # gradients at the feature grid and exclude the backbone (VGG or
+    # ResNet) from L2 decay (train/steps.py). Set False to fine-tune.
+    freeze_backbone: bool = True
     use_qpn: bool = False
     qpn_dropout: bool = False
     reduce_visfeat_dim: bool = False
     D_feat_raw: int = 0            # raw channels before reduce_visfeat_dim
+
+    @property
+    def freeze_vgg(self) -> bool:
+        """Deprecated alias for freeze_backbone (the flag has always also
+        gated the ResNet path)."""
+        return self.freeze_backbone
 
 
 @jax.tree_util.register_dataclass
@@ -151,13 +157,13 @@ class NMNModel:
                                                   image_input)
         elif cfg.in_graph_vgg:
             image_feat = backbones.vgg16_pool5(params["vgg"], image_input)
-            if cfg.freeze_vgg:
+            if cfg.freeze_backbone:
                 image_feat = jax.lax.stop_gradient(image_feat)
         elif cfg.in_graph_resnet:
             from n2nmn_tpu.models import resnet
             image_feat = resnet.resnet152_res5c(params["resnet"],
                                                 image_input)
-            if cfg.freeze_vgg:
+            if cfg.freeze_backbone:
                 image_feat = jax.lax.stop_gradient(image_feat)
         else:
             image_feat = image_input

@@ -265,8 +265,6 @@ def execute_layout_clevr_fused(tokens, tables, params, pre_static,
     if "txt_tfm" in pre_step:
         txt_tfm = pad_n(pre_step["txt_tfm"], 1)
     else:
-        # dot-form precompute active: rebuild the conv-form text map the
-        # kernel needs (tiny: [T, N, map_dim] fc)
         raise ValueError(
             "fused executor needs conv-form pre_step (txt_tfm); run with "
             "N2NMN_TRANSFORM=conv")

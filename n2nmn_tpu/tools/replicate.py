@@ -137,6 +137,59 @@ def run_mini_clevr(seed, out_file, root="./exp_clevr_mini", smoke=False):
                      out_file, family="mini_clevr_scratch")
 
 
+def run_mini_vqa(seed, out_file, root="./exp_vqa_mini", smoke=False,
+                 qpn_ablation=True):
+    """Mini-VQA (data/builders/mini_vqa.py) through the real exp_vqa
+    stack: gt-layout cloning with qpn + GloVe init + per-iteration answer
+    sampling (reference train_vqa_gt_layout.py:23-59), RL fine-tune
+    (train_vqa_rl_gt_layout.py:36-50), select-by-val protocol, official
+    VQA accuracy via data/vqa_grader.py, plus a qpn-off ablation.
+
+    Schedules are scaled to the benchmark size (30k train questions vs
+    VQA's 248k): cloning 12k iters, RL 6k — the same /3-ish scaling the
+    mini-CLEVR replication uses."""
+    from n2nmn_tpu.experiments import vqa
+
+    imdb_trn = "data/imdb/imdb_trn.npy"
+
+    # --- gt cloning (qpn ON, sampling OFF — reference :33) ---
+    gt_exp = f"mini_vqa_gt_layout_s{seed}"
+    cfg = vqa.VqaConfig(exp_name=gt_exp, root=root, seed=seed,
+                        imdb_trn=imdb_trn, max_iter=12000,
+                        snapshot_interval=3000)
+    if smoke:
+        cfg = dataclasses.replace(cfg, max_iter=60, snapshot_interval=30)
+    vqa.train(cfg)
+    ecfg = vqa.VqaConfig(root=root)
+    best_gt, _ = _select_and_test(
+        vqa.evaluate, ecfg, gt_exp, root, "val", "tst", out_file,
+        family="mini_vqa_gt")
+
+    # --- RL fine-tune from the best-val cloning snapshot ---
+    rl_exp = f"mini_vqa_rl_gt_layout_s{seed}"
+    rcfg = vqa.rl_config(exp_name=rl_exp, root=root, seed=seed,
+                         imdb_trn=imdb_trn, max_iter=6000,
+                         snapshot_interval=2000)
+    if smoke:
+        rcfg = dataclasses.replace(rcfg, max_iter=60,
+                                   snapshot_interval=30)
+    vqa.train(rcfg, pretrained_model=os.path.join(
+        root, "tfmodel", gt_exp, best_gt))
+    _select_and_test(vqa.evaluate, ecfg, rl_exp, root, "val", "tst",
+                     out_file, family="mini_vqa_rl")
+
+    # --- qpn ablation: same cloning run with use_qpn=False, so the
+    # README can quote what the question-prior net contributes
+    # (reference models_vqa/nmn3_model.py:106-114) ---
+    if qpn_ablation:
+        ab_exp = f"mini_vqa_gt_noqpn_s{seed}"
+        acfg = dataclasses.replace(cfg, exp_name=ab_exp, use_qpn=False)
+        vqa.train(acfg)
+        aecfg = vqa.VqaConfig(root=root, use_qpn=False)
+        _select_and_test(vqa.evaluate, aecfg, ab_exp, root, "val", "tst",
+                         out_file, family="mini_vqa_gt_noqpn")
+
+
 def summarize(out_file):
     """Collect the selected-by-val test results into mean±std per family
     (+ a ready-to-paste markdown table for the README)."""
@@ -193,6 +246,9 @@ if __name__ == "__main__":
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--skip_shapes", action="store_true")
     p.add_argument("--skip_mini", action="store_true")
+    p.add_argument("--skip_vqa", action="store_true")
+    p.add_argument("--only_vqa", action="store_true")
+    p.add_argument("--no_qpn_ablation", action="store_true")
     p.add_argument("--seed0", action="store_true",
                    help="re-eval existing seed-0 snapshots with the "
                         "select-by-val protocol first")
@@ -204,8 +260,11 @@ if __name__ == "__main__":
         if args.seed0:
             reeval_seed0(args.out)
         for seed in args.seeds:
-            if not args.skip_shapes:
+            if not args.skip_shapes and not args.only_vqa:
                 run_shapes(seed, args.out, smoke=args.smoke)
-            if not args.skip_mini:
+            if not args.skip_mini and not args.only_vqa:
                 run_mini_clevr(seed, args.out, smoke=args.smoke)
+            if not args.skip_vqa:
+                run_mini_vqa(seed, args.out, smoke=args.smoke,
+                             qpn_ablation=not args.no_qpn_ablation)
         summarize(args.out)

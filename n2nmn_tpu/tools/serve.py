@@ -105,18 +105,24 @@ class NMNServer:
         return res
 
     def answer(self, text_seq, seq_length, images):
-        """Any number of requests; chunks into serving batches."""
+        """Any number of requests; chunks into serving batches. Returns
+        the same schema as answer_batch (predictions, validity, tokens,
+        + answers when answer_words is set), concatenated over chunks."""
         t, n = text_seq.shape
         outs = []
         for i in range(0, n, self.batch_size):
             j = min(i + self.batch_size, n)
             outs.append(self.answer_batch(
                 text_seq[:, i:j], seq_length[i:j], images[i:j]))
-        return {
+        res = {
             "predictions": np.concatenate(
                 [o["predictions"] for o in outs]),
             "validity": np.concatenate([o["validity"] for o in outs]),
+            "tokens": np.concatenate([o["tokens"] for o in outs], axis=1),
         }
+        if self.answer_words is not None:
+            res["answers"] = [a for o in outs for a in o["answers"]]
+        return res
 
 
 def _demo():

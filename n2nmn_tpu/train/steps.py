@@ -62,7 +62,7 @@ def _l2_for_decay(model, params):
     in-graph convnet IS trained (models_shapes/nmn3_model.py) and stays
     included."""
     cfg = model.cfg
-    if getattr(cfg, "freeze_vgg", True):
+    if getattr(cfg, "freeze_backbone", True):
         frozen = {k for k, on in (("vgg", getattr(cfg, "in_graph_vgg",
                                                   False)),
                                   ("resnet", getattr(cfg, "in_graph_resnet",
