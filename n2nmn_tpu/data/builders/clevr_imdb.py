@@ -15,7 +15,12 @@ from n2nmn_tpu.data.text import tokenize
 def build_imdb(question_file, image_dir, feature_dir,
                with_layout_key="gt_layout"):
     with open(question_file) as f:
-        questions = json.load(f)["questions"]
+        payload = json.load(f)
+    # gt_layout files are bare question lists (reference
+    # get_ground_truth_layout.py:110 + build_clevr_imdb.py:16); raw
+    # CLEVR question files wrap the list in {"questions": [...]}
+    questions = (payload["questions"] if isinstance(payload, dict)
+                 else payload)
     imdb = []
     for q in questions:
         image_name = q["image_filename"].rsplit(".", 1)[0]

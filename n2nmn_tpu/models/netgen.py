@@ -120,6 +120,19 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
     seq_not_finished = (jnp.arange(T_enc)[:, None]
                         < seq_length[None, :]).astype(enc_out.dtype)  # [T,N]
 
+    # Optional fused Bahdanau step (ops/pallas/attention.py): stream the
+    # two loop-invariant [T_enc, N, D] encoder tensors through VMEM once
+    # per decode step instead of materializing the tanh operand to HBM.
+    # The kernel wants batch-major layout with T padded to x8 — transpose
+    # ONCE here, amortized over all T_decoder steps.
+    from n2nmn_tpu.ops.pallas.attention import (
+        bahdanau_attention, fused_attention_enabled, pad_time)
+    use_fused_att = fused_attention_enabled()
+    if use_fused_att:
+        enc_trans_nt = pad_time(enc_trans.transpose(1, 0, 2), 1)
+        enc_out_nt = pad_time(enc_out.transpose(1, 0, 2), 1)
+        mask_nt = pad_time(seq_not_finished.T, 1)        # [N, Tp]
+
     # ---------------- decoder ----------------
     P = grammar_arrays["P"]          # [V, 3] int32
     W = grammar_arrays["W"]          # [3, V, 4] int32
@@ -154,10 +167,16 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
 
         # Bahdanau attention over encoder outputs
         q = jnp.dot(h_out, w_a, preferred_element_type=h_out.dtype) + b_a
-        att_raw = jnp.einsum("tnd,d->tn", jnp.tanh(q[None] + enc_trans), v)
-        att = jax.nn.softmax(att_raw, axis=0) * seq_not_finished
-        att = att / jnp.sum(att, axis=0, keepdims=True)
-        d2 = jnp.einsum("tn,tnd->nd", att, enc_out)
+        if use_fused_att:
+            att_nt, d2 = bahdanau_attention(q, enc_trans_nt, enc_out_nt,
+                                            v, mask_nt)
+            att = att_nt[:, :T_enc].T                       # [T_enc, N]
+        else:
+            att_raw = jnp.einsum("tnd,d->tn",
+                                 jnp.tanh(q[None] + enc_trans), v)
+            att = jax.nn.softmax(att_raw, axis=0) * seq_not_finished
+            att = att / jnp.sum(att, axis=0, keepdims=True)
+            d2 = jnp.einsum("tn,tnd->nd", att, enc_out)
 
         token_scores = (jnp.dot(jnp.concatenate([h_out, d2], axis=1), w_y,
                                 preferred_element_type=h_out.dtype) + b_y)

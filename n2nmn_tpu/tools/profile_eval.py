@@ -120,7 +120,13 @@ def roofline(model, n, t_enc, dtype_bytes=2):
     lstm_w_bytes = L * (2 * d) * (4 * d) * dtype_bytes      # per scan step
     enc_bytes = t_enc * (lstm_w_bytes + n * d * 4 * dtype_bytes)
     dec_w_extra = (d * cfg.num_vocab_nmn + 2 * d * d) * dtype_bytes
-    dec_bytes = t_dec * (lstm_w_bytes + dec_w_extra
+    # Bahdanau attention re-reads BOTH loop-invariant encoder tensors
+    # (enc_trans for the tanh scores, enc_out for the context readout)
+    # at every decode step — 2 x [T_enc, N, D] of mandatory streaming
+    # that the round-2 roofline omitted (it made the decode gap look
+    # 6.5x when the true minimum-traffic ratio is ~2-3x).
+    attn_bytes = 2 * t_enc * n * d * dtype_bytes
+    dec_bytes = t_dec * (lstm_w_bytes + dec_w_extra + attn_bytes
                          + n * (d * 6 + t_enc) * dtype_bytes)
 
     # executor: img_fsp pass + image_feat readouts + conv intermediate +
