@@ -84,6 +84,53 @@ def clevr_executor_flops(H: int, W: int, D_feat: int, T_dec: int,
     return f
 
 
+def vqa_executor_flops(H: int, W: int, D_feat: int, T_dec: int,
+                       num_choices: int, map_dim: int = 1024,
+                       embed_dim_txt: int = 300) -> float:
+    """Stack-machine execution per question for the VQA module library
+    (models/modules/vqa.py): coordinate-map grid, hoisted _Find, and the
+    readout-based _Transform/_Describe."""
+    hw = H * W
+    d = D_feat + 2                 # + x/y coordinate maps
+    C = num_choices
+    f = 0.0
+    # precompute: img_find + img_tfm 1x1 convs over the coord grid;
+    # 3 per-step text fcs; hoisted find-core over all T_dec steps
+    f += 2.0 * 2 * hw * d * map_dim
+    f += T_dec * 3 * 2.0 * embed_dim_txt * map_dim
+    f += T_dec * (4.0 * hw * map_dim + 2.0 * hw * map_dim)  # find_core_all
+
+    readout = 4.0 * hw + 2.0 * hw * d        # step_shared softmax readout
+    per_step = readout
+    per_step += (2.0 * d * map_dim + 5.0 * hw * map_dim
+                 + 2.0 * hw * map_dim)                       # transform
+    per_step += hw                                           # and
+    per_step += 2.0 * d * map_dim + 4.0 * map_dim \
+        + 2.0 * map_dim * C                                  # describe
+    per_step += 4.0 * hw * 2 + 1.0 * C * 2 + 3.0 * T_dec * hw  # selects
+    f += T_dec * per_step
+    return f
+
+
+def qpn_flops(lstm_dim: int, num_layers: int, num_choices: int,
+              hidden: int = 500) -> float:
+    """question_prior_net: concat final hiddens -> fc_relu(500) -> fc
+    (models/question_prior.py)."""
+    return (2.0 * num_layers * lstm_dim * hidden
+            + 2.0 * hidden * num_choices)
+
+
+def vqa_eval_flops_per_question(net_cfg, H=14, W=14, D_feat=2048,
+                                num_choices=3001, T_enc=26,
+                                use_qpn=True) -> float:
+    f = netgen_eval_flops(net_cfg, T_enc)
+    f += vqa_executor_flops(H, W, D_feat, net_cfg.T_decoder, num_choices,
+                            embed_dim_txt=net_cfg.embed_dim_txt)
+    if use_qpn:
+        f += qpn_flops(net_cfg.lstm_dim, net_cfg.num_layers, num_choices)
+    return f
+
+
 def vgg16_pool5_flops(H_img: int, W_img: int) -> float:
     """VGG-16 conv1_1..pool5 (models/backbones.py): 3x3 convs, 2x2 pools."""
     blocks = [(64, 64), (128, 128), (256, 256, 256),

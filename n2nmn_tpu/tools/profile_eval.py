@@ -44,10 +44,32 @@ def _bytes_of(dtype):
     return jnp.dtype(dtype).itemsize
 
 
+def vqa_flagship_model():
+    """Flagship VQA eval geometry: 14x14x2048 res5c grid, map_dim 1024,
+    lstm 1000, qpn on, 3001 answers (reference exp_vqa/eval_vqa.py:27-43 +
+    models_vqa/nmn3_modules.py map_dim)."""
+    from n2nmn_tpu.layout.grammar import ModuleGrammar
+    from n2nmn_tpu.models.netgen import NetgenConfig
+    from n2nmn_tpu.models.nmn import NMNConfig, NMNModel
+
+    grammar = ModuleGrammar(["_Find", "_Transform", "_And", "_Describe",
+                             "<eos>"])
+    net_cfg = NetgenConfig(
+        num_vocab_txt=17742, embed_dim_txt=300,
+        num_vocab_nmn=grammar.num_vocab, embed_dim_nmn=300,
+        lstm_dim=1000, num_layers=2, T_decoder=13,
+        decoder_sampling=False, mask_mode="grammar")
+    cfg = NMNConfig(flavor="vqa", netgen=net_cfg, num_choices=3001,
+                    H_feat=14, W_feat=14, D_feat=2048, use_qpn=True)
+    return NMNModel(cfg, grammar)
+
+
 def make_inputs(model, n, t_enc=45, bf16=True, seed=0):
     key = jax.random.PRNGKey(seed)
     params = model.init(key)
-    text_seq = jax.random.randint(key, (t_enc, n), 0, 82, jnp.int32)
+    num_vocab = model.cfg.netgen.num_vocab_txt
+    text_seq = jax.random.randint(key, (t_enc, n), 0, num_vocab,
+                                  jnp.int32)
     seq_length = jnp.full((n,), t_enc, jnp.int32)
     cfg = model.cfg
     image_feat = jax.random.normal(
@@ -142,7 +164,14 @@ def roofline(model, n, t_enc, dtype_bytes=2):
     exe_bytes += n * hw * map_dim * dtype_bytes + \
         t_dec * n * hw * dtype_bytes
 
-    flops_q = flagship_eval_flops_per_question(cfg, T_enc=t_enc)
+    if model.cfg.flavor == "vqa":
+        from n2nmn_tpu.tools.flops import vqa_eval_flops_per_question
+        flops_q = vqa_eval_flops_per_question(
+            cfg, H=model.cfg.H_feat, W=model.cfg.W_feat,
+            D_feat=model.cfg.D_feat, num_choices=model.cfg.num_choices,
+            T_enc=t_enc, use_qpn=model.cfg.use_qpn)
+    else:
+        flops_q = flagship_eval_flops_per_question(cfg, T_enc=t_enc)
     total_flops = flops_q * n
 
     return {
@@ -157,7 +186,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch_sizes", type=int, nargs="+",
                    default=[64, 256, 512, 1024])
-    p.add_argument("--t_enc", type=int, default=45)
+    p.add_argument("--t_enc", type=int, default=None)
+    p.add_argument("--flavor", choices=["clevr", "vqa"], default="clevr",
+                   help="vqa = flagship VQA geometry (14x14x2048 res5c, "
+                        "map_dim 1024, lstm 1000, T_enc 26, T_dec 13, "
+                        "qpn) — a different regime from CLEVR's "
+                        "10x15x512 (VERDICT r2 next-#7)")
     p.add_argument("--f32", action="store_true")
     p.add_argument("--trace_dir", default=None,
                    help="also capture a jax.profiler trace at N=256")
@@ -165,7 +199,12 @@ def main():
     args = p.parse_args()
 
     import bench
-    model = bench._flagship_model()
+    if args.flavor == "vqa":
+        model = vqa_flagship_model()
+        args.t_enc = args.t_enc or 26
+    else:
+        model = bench._flagship_model()
+        args.t_enc = args.t_enc or 45
     bf16 = not args.f32
     dtype_bytes = 4 if args.f32 else 2
 

@@ -97,44 +97,58 @@ def run_shapes(seed, out_file, root="./exp_shapes_synth", smoke=False):
                      out_file, family="shapes_rl")
 
 
-def run_mini_clevr(seed, out_file, root="./exp_clevr_mini", smoke=False):
+def run_mini_clevr(seed, out_file, root="./exp_clevr_mini", smoke=False,
+                   configs=("gt", "rl", "scratch")):
     from n2nmn_tpu.experiments import clevr
 
     def train(cfg, **kw):
         clevr.train(cfg, **kw)
 
-    # --- gt cloning ---
-    gt_exp = f"mini_clevr_gt_layout_s{seed}"
-    cfg = clevr.ClevrConfig(exp_name=gt_exp, root=root, seed=seed,
-                            max_iter=60000)
-    if smoke:
-        cfg = dataclasses.replace(cfg, max_iter=60, snapshot_interval=30)
-    train(cfg)
     ecfg = clevr.ClevrConfig(root=root)
-    best_gt, _ = _select_and_test(
-        clevr.evaluate, ecfg, gt_exp, root, "val", "tst", out_file,
-        family="mini_clevr_gt")
+    gt_exp = f"mini_clevr_gt_layout_s{seed}"
+
+    # --- gt cloning ---
+    if "gt" in configs:
+        cfg = clevr.ClevrConfig(exp_name=gt_exp, root=root, seed=seed,
+                                max_iter=60000)
+        if smoke:
+            cfg = dataclasses.replace(cfg, max_iter=60,
+                                      snapshot_interval=30)
+        train(cfg)
+        best_gt, _ = _select_and_test(
+            clevr.evaluate, ecfg, gt_exp, root, "val", "tst", out_file,
+            family="mini_clevr_gt")
+    else:
+        # reuse an existing cloning run's best-val snapshot for RL
+        names = _snapshots(root, gt_exp)
+        best_gt = max(
+            names, key=lambda s: clevr.evaluate(
+                ecfg, gt_exp, s, "val")["answer_accuracy"])
 
     # --- RL fine-tune ---
-    rl_exp = f"mini_clevr_rl_gt_layout_s{seed}"
-    rcfg = clevr.rl_config(exp_name=rl_exp, root=root, seed=seed,
-                           max_iter=40000)
-    if smoke:
-        rcfg = dataclasses.replace(rcfg, max_iter=60, snapshot_interval=30)
-    train(rcfg, pretrained_model=os.path.join(
-        root, "tfmodel", gt_exp, best_gt))
-    _select_and_test(clevr.evaluate, ecfg, rl_exp, root, "val", "tst",
-                     out_file, family="mini_clevr_rl")
+    if "rl" in configs:
+        rl_exp = f"mini_clevr_rl_gt_layout_s{seed}"
+        rcfg = clevr.rl_config(exp_name=rl_exp, root=root, seed=seed,
+                               max_iter=40000)
+        if smoke:
+            rcfg = dataclasses.replace(rcfg, max_iter=60,
+                                       snapshot_interval=30)
+        train(rcfg, pretrained_model=os.path.join(
+            root, "tfmodel", gt_exp, best_gt))
+        _select_and_test(clevr.evaluate, ecfg, rl_exp, root, "val", "tst",
+                         out_file, family="mini_clevr_rl")
 
     # --- from-scratch policy search ---
-    sc_exp = f"mini_clevr_scratch_s{seed}"
-    scfg = clevr.scratch_config(exp_name=sc_exp, root=root, seed=seed,
-                                max_iter=40000)
-    if smoke:
-        scfg = dataclasses.replace(scfg, max_iter=60, snapshot_interval=30)
-    train(scfg)
-    _select_and_test(clevr.evaluate, ecfg, sc_exp, root, "val", "tst",
-                     out_file, family="mini_clevr_scratch")
+    if "scratch" in configs:
+        sc_exp = f"mini_clevr_scratch_s{seed}"
+        scfg = clevr.scratch_config(exp_name=sc_exp, root=root, seed=seed,
+                                    max_iter=40000)
+        if smoke:
+            scfg = dataclasses.replace(scfg, max_iter=60,
+                                       snapshot_interval=30)
+        train(scfg)
+        _select_and_test(clevr.evaluate, ecfg, sc_exp, root, "val", "tst",
+                         out_file, family="mini_clevr_scratch")
 
 
 def run_mini_vqa(seed, out_file, root="./exp_vqa_mini", smoke=False,
@@ -249,6 +263,9 @@ if __name__ == "__main__":
     p.add_argument("--skip_vqa", action="store_true")
     p.add_argument("--only_vqa", action="store_true")
     p.add_argument("--no_qpn_ablation", action="store_true")
+    p.add_argument("--mini_configs", default="gt,rl,scratch",
+                   help="comma list of mini-CLEVR configs to run "
+                        "(gt, rl, scratch)")
     p.add_argument("--seed0", action="store_true",
                    help="re-eval existing seed-0 snapshots with the "
                         "select-by-val protocol first")
@@ -263,7 +280,9 @@ if __name__ == "__main__":
             if not args.skip_shapes and not args.only_vqa:
                 run_shapes(seed, args.out, smoke=args.smoke)
             if not args.skip_mini and not args.only_vqa:
-                run_mini_clevr(seed, args.out, smoke=args.smoke)
+                run_mini_clevr(
+                    seed, args.out, smoke=args.smoke,
+                    configs=tuple(args.mini_configs.split(",")))
             if not args.skip_vqa:
                 run_mini_vqa(seed, args.out, smoke=args.smoke,
                              qpn_ablation=not args.no_qpn_ablation)
