@@ -143,6 +143,7 @@ class ModuleGrammar:
             bool)
 
         self.P, self.W, self.b = build_validity_mats(self.module_names)
+        self._dfa_cache = {}
 
     @classmethod
     def from_vocab_file(cls, path):
@@ -162,6 +163,69 @@ class ModuleGrammar:
 
     def tokens2str(self, tokens):
         return " ".join(self.module_names[int(t)] for t in tokens)
+
+    def tabulate(self, T_decoder):
+        """Compile the linear-constraint automaton into a DFA.
+
+        The decoder's per-step grammar work — ``cons = X @ W - b;
+        valid = all(cons >= 0)`` on an integer state X = (#att-on-stack,
+        #ans-emitted, T-remaining) — is mathematically a finite
+        automaton: X0 = (0, 0, T) and every transition adds the
+        constant P[token], so only a few hundred states are reachable
+        within T steps. Round-3 profiling measured that in-scan
+        constraint check at ~1 ms per decode (50 us/step of small VPU
+        ops + dispatch, decode_breakdown_r3.json); tabulating it turns
+        the per-step cost into two gathers.
+
+        Returns (valid_table [S, V] bool, trans_table [S, V] int32)
+        where row 0 is the start state; trans is total (defined for
+        every token, valid or not) so the gt-layout bypass path
+        (reference nmn3_netgen_att.py:204-207) stays exact.
+        """
+        key = int(T_decoder)
+        if key in self._dfa_cache:
+            return self._dfa_cache[key]
+        V = self.num_vocab
+        start = (0, 0, key)
+        ids = {start: 0}
+        order = [start]
+        valid_rows, trans_rows = [], []
+        frontier = [start]
+        steps = 0
+        while frontier and steps <= key + 1:
+            nxt = []
+            for st in frontier:
+                X = np.array(st, np.int64)
+                valid = np.array(
+                    [np.all(X @ self.W[:, s, :] - self.b[s] >= 0)
+                     for s in range(V)])
+                succ = []
+                for s in range(V):
+                    ns = tuple((X + self.P[s]).tolist())
+                    if ns not in ids:
+                        ids[ns] = len(order)
+                        order.append(ns)
+                        nxt.append(ns)
+                    succ.append(ids[ns])
+                valid_rows.append(valid)
+                trans_rows.append(succ)
+            frontier = nxt
+            steps += 1
+        # states discovered on the last frontier still need rows
+        while len(valid_rows) < len(order):
+            st = order[len(valid_rows)]
+            X = np.array(st, np.int64)
+            valid = np.array(
+                [np.all(X @ self.W[:, s, :] - self.b[s] >= 0)
+                 for s in range(V)])
+            # terminal-depth states never transition during decoding;
+            # self-loop keeps the table total
+            valid_rows.append(valid)
+            trans_rows.append([len(valid_rows) - 1] * V)
+        tables = (np.array(valid_rows, bool),
+                  np.array(trans_rows, np.int32))
+        self._dfa_cache[key] = tables
+        return tables
 
     # ---- host-side automaton (numpy; used for tests and tooling) ----
     def automaton_validity(self, layout_tokens):

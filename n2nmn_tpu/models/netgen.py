@@ -9,10 +9,13 @@ LSTM state, the grammar-automaton state X, the PRNG key, and (for the
 unmasked variant) the <eos>-latch. Both dataset variants are one function,
 switched by ``mask_mode``:
 
-  * ``"grammar"`` — in-graph validity masking via X@W-b>=0, sampling with a
-    -50 logit penalty on invalid tokens and argmax-over-valid fallback,
+  * ``"grammar"`` — in-graph validity masking, sampling with a -50 logit
+    penalty on invalid tokens and argmax-over-valid fallback,
     renormalized probabilities and entropy over valid tokens only
-    (reference nmn3_netgen_att.py:200-260).
+    (reference nmn3_netgen_att.py:200-260). The reference's per-step
+    X@W-b>=0 constraint evaluation is compiled into a DFA offline
+    (grammar.py:tabulate) — identical semantics (differentially tested),
+    two gathers per step instead of an integer einsum + reduction.
   * ``"eos_force"`` — unconstrained sampling; after the first <eos> the
     decoder emits <eos> with probability 1 and zero entropy (reference
     models_shapes/nmn3_netgen_att.py:210-222).
@@ -79,6 +82,17 @@ def init_netgen(key, cfg: NetgenConfig, dtype=jnp.float32):
     }
 
 
+def make_grammar_arrays(grammar, T_decoder: int) -> dict:
+    """Device arrays for run_netgen: the tabulated validity DFA
+    (grammar.tabulate) + the eos index."""
+    valid, trans = grammar.tabulate(T_decoder)
+    return {
+        "dfa_valid": jnp.asarray(valid),
+        "dfa_trans": jnp.asarray(trans),
+        "eos_idx": grammar.eos_idx,
+    }
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class NetgenOutput:
@@ -100,7 +114,9 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
 
     text_seq: [T_enc, N] int32 (time-major, like the reference);
     seq_length: [N]; gt_layout: [T_dec, N] when use_gt_layout.
-    grammar_arrays: dict with 'P' [V,3], 'W' [3,V,4], 'b' [V,4], 'eos_idx'.
+    grammar_arrays: dict with 'dfa_valid' [S,V] bool, 'dfa_trans' [S,V]
+    int32 (the tabulated validity automaton, grammar.tabulate) and
+    'eos_idx'; build with ``make_grammar_arrays``.
     """
     enc_p, dec_p = params["encoder"], params["decoder"]
     T_enc, N = text_seq.shape
@@ -134,9 +150,13 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
         mask_nt = pad_time(seq_not_finished.T, 1)        # [N, Tp]
 
     # ---------------- decoder ----------------
-    P = grammar_arrays["P"]          # [V, 3] int32
-    W = grammar_arrays["W"]          # [3, V, 4] int32
-    b = grammar_arrays["b"]          # [V, 4] int32
+    # Tabulated grammar DFA (grammar.py:tabulate): validity is a row
+    # gather, the state transition a flat gather — replaces the in-scan
+    # X@W-b constraint evaluation the reference runs per step
+    # (nmn3_netgen_att.py:8-15), which profiling measured at ~50us/step
+    # of small-op overhead (perf/decode_breakdown_r3.json).
+    dfa_valid = grammar_arrays["dfa_valid"]        # [S, V] bool
+    dfa_trans = grammar_arrays["dfa_trans"]        # [S, V] int32
     eos_idx = grammar_arrays["eos_idx"]
 
     w_a, b_a = dec_p["att_w"]["w"], dec_p["att_w"]["b"]
@@ -147,7 +167,7 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
     go = jnp.tile(dec_p["go"], (N, 1))
     c0 = jnp.tile(enc_c[:, :, :], (1, 1, 1))
     h0 = jnp.tile(enc_h[:, :, :], (1, 1, 1))
-    X0 = jnp.tile(jnp.array([[0, 0, cfg.T_decoder]], jnp.int32), (N, 1))
+    state0 = jnp.zeros((N,), jnp.int32)       # DFA start state (row 0)
     eos0 = jnp.zeros((N,), bool)
 
     if gt_layout is None:
@@ -157,7 +177,7 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
     dec_deterministic = deterministic or not cfg.decoder_dropout
 
     def step(carry, xs):
-        (c, h), X, prev_eos, inp, key = carry
+        (c, h), state, prev_eos, inp, key = carry
         gt_t = xs
         key, sample_key, drop_key = jax.random.split(key, 3)
 
@@ -182,9 +202,8 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
                                 preferred_element_type=h_out.dtype) + b_y)
 
         if grammar_mode:
-            # token validity from the automaton state: all(X@W - b >= 0)
-            cons = jnp.einsum("ns,svc->nvc", X, W) - b[None]   # [N,V,4]
-            token_validity = jnp.all(cons >= 0, axis=2)         # [N,V] bool
+            # token validity: one row gather from the tabulated DFA
+            token_validity = dfa_valid[state]                   # [N,V] bool
             if use_gt_layout:
                 # gt layouts bypass masking & renormalization
                 # (reference nmn3_netgen_att.py:204-207)
@@ -255,12 +274,12 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
             neg_ent = jnp.where(prev_eos, 0.0, neg_ent)
             new_eos = jnp.logical_or(prev_eos, predicted == eos_idx)
 
-        X = jax.lax.stop_gradient(X + P[final_token])
+        state = dfa_trans.reshape(-1)[state * V + final_token]
         next_inp = dec_embed[final_token]
         out = (final_token, token_prob, token_logprob, neg_ent, att)
-        return (((c, h), X, new_eos, next_inp, key), out)
+        return (((c, h), state, new_eos, next_inp, key), out)
 
-    carry0 = ((c0, h0), X0, eos0, go, rng)
+    carry0 = ((c0, h0), state0, eos0, go, rng)
     _, (tokens, token_probs, token_logprobs, neg_ents, atts) = jax.lax.scan(
         step, carry0, gt_layout)
 

@@ -86,12 +86,9 @@ class NMNModel:
         self.lib = MODULE_LIBS[cfg.flavor]
         self.tables = build_tables(grammar, self.lib.ATT_MODULES,
                                    self.lib.ANS_MODULES)
-        self.grammar_arrays = {
-            "P": jnp.asarray(grammar.P),
-            "W": jnp.asarray(grammar.W),
-            "b": jnp.asarray(grammar.b),
-            "eos_idx": grammar.eos_idx,
-        }
+        from n2nmn_tpu.models.netgen import make_grammar_arrays
+        self.grammar_arrays = make_grammar_arrays(grammar,
+                                                  cfg.netgen.T_decoder)
 
     def _use_fused_executor(self, deterministic: bool) -> bool:
         """Serving-only fused Pallas executor (no VJP): opt-in via

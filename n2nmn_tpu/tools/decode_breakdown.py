@@ -105,6 +105,21 @@ def build_programs(n, dtype):
             return q + 1e-6 * d2          # keep the chain sequential
         return scan(step, q0)
 
+    @jax.jit
+    def attn_xla_dot(p, q0):
+        # same math, scores via a reshaped 2-D dot — probes whether XLA
+        # fuses the tanh producer into a real dot better than into the
+        # einsum reduction
+        def step(q):
+            x = jnp.tanh(q[None] + p["enc_trans"])          # [T, N, D]
+            att_raw = (x.reshape(T_ENC * n, D)
+                       @ p["v"][:, None]).reshape(T_ENC, n)
+            att = jax.nn.softmax(att_raw, axis=0) * mask
+            att = att / jnp.sum(att, axis=0, keepdims=True)
+            d2 = jnp.einsum("tn,tnd->nd", att, p["enc_out"])
+            return q + 1e-6 * d2
+        return scan(step, q0)
+
     def attn_fused_maker():
         from n2nmn_tpu.ops.pallas.attention import (bahdanau_attention,
                                                     pad_time)
@@ -121,14 +136,16 @@ def build_programs(n, dtype):
             return scan(step, q0)
         return attn_fused
 
+    from n2nmn_tpu.layout.grammar import ModuleGrammar
+    g = ModuleGrammar(["_Scene", "_Find", "_Filter",
+                       "_FindSameProperty", "_Transform", "_And",
+                       "_Or", "_Exist", "_Count", "_EqualNum",
+                       "_MoreNum", "_LessNum", "_SameProperty",
+                       "_Describe", "<eos>"])
+
     @jax.jit
-    def grammar(p, scores0):
-        from n2nmn_tpu.layout.grammar import ModuleGrammar
-        g = ModuleGrammar(["_Scene", "_Find", "_Filter",
-                           "_FindSameProperty", "_Transform", "_And",
-                           "_Or", "_Exist", "_Count", "_EqualNum",
-                           "_MoreNum", "_LessNum", "_SameProperty",
-                           "_Describe", "<eos>"])
+    def grammar_einsum(p, scores0):
+        # the round-2 in-scan constraint evaluation (X @ W - b >= 0)
         P = jnp.asarray(g.P)
         W = jnp.asarray(g.W)
         b = jnp.asarray(g.b)
@@ -143,7 +160,25 @@ def build_programs(n, dtype):
         X0 = jnp.tile(jnp.array([[0, 0, T_DEC]], jnp.int32), (n, 1))
         return scan(step, (X0, scores0))
 
-    return empty, lstm_head, attn_xla, attn_fused_maker, grammar
+    @jax.jit
+    def grammar_dfa(p, scores0):
+        # the round-3 tabulated automaton: two gathers per step
+        # (grammar.py:tabulate, the production netgen path)
+        valid_t, trans_t = g.tabulate(T_DEC)
+        valid_t = jnp.asarray(valid_t)
+        trans_flat = jnp.asarray(trans_t).reshape(-1)
+        nv = valid_t.shape[1]
+
+        def step(carry):
+            st, s = carry
+            valid = valid_t[st]
+            masked = jnp.where(valid, s, jnp.min(s) - 1.0)
+            tok = jnp.argmax(masked, 1).astype(jnp.int32)
+            return (trans_flat[st * nv + tok], s + 1e-6)
+        return scan(step, (jnp.zeros((n,), jnp.int32), scores0))
+
+    return (empty, lstm_head, attn_xla, attn_xla_dot, attn_fused_maker,
+            grammar_einsum, grammar_dfa)
 
 
 def main():
@@ -162,8 +197,8 @@ def main():
     for n in args.batch_sizes:
         key = jax.random.PRNGKey(0)
         params = _params(n, key, dtype)
-        empty, lstm_head, attn_xla, fused_maker, grammar = \
-            build_programs(n, dtype)
+        (empty, lstm_head, attn_xla, attn_xla_dot, fused_maker,
+         grammar_einsum, grammar_dfa) = build_programs(n, dtype)
         q0 = jax.random.normal(key, (n, D), dtype)
         s0 = jax.random.normal(key, (n, V), dtype)
         x0 = jnp.zeros((n, D), dtype)
@@ -172,7 +207,11 @@ def main():
         rec["empty_ms"] = _timeit(empty, (params, x0)) * 1e3
         rec["lstm_head_ms"] = _timeit(lstm_head, (params, x0)) * 1e3
         rec["attn_xla_ms"] = _timeit(attn_xla, (params, q0)) * 1e3
-        rec["grammar_ms"] = _timeit(grammar, (params, s0)) * 1e3
+        rec["attn_xla_dot_ms"] = _timeit(attn_xla_dot,
+                                         (params, q0)) * 1e3
+        rec["grammar_einsum_ms"] = _timeit(grammar_einsum,
+                                           (params, s0)) * 1e3
+        rec["grammar_dfa_ms"] = _timeit(grammar_dfa, (params, s0)) * 1e3
         if not args.skip_fused:
             try:
                 fused = fused_maker()

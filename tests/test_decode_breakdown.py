@@ -11,8 +11,8 @@ def test_components_run_and_order():
     n = 8
     dtype = jnp.float32
     params = db._params(n, jax.random.PRNGKey(0), dtype)
-    empty, lstm_head, attn_xla, fused_maker, grammar = \
-        db.build_programs(n, dtype)
+    (empty, lstm_head, attn_xla, attn_xla_dot, fused_maker,
+     grammar_einsum, grammar_dfa) = db.build_programs(n, dtype)
     x0 = jnp.zeros((n, db.D), dtype)
     q0 = jax.random.normal(jax.random.PRNGKey(1), (n, db.D), dtype)
     s0 = jax.random.normal(jax.random.PRNGKey(2), (n, db.V), dtype)
@@ -22,7 +22,12 @@ def test_components_run_and_order():
     assert t_empty < t_lstm                 # the floor is the floor
 
     out_x = attn_xla(params, q0)
+    assert jnp.allclose(out_x, attn_xla_dot(params, q0), rtol=1e-4,
+                        atol=1e-5)
     out_f = fused_maker()(params, q0)
     # both attention variants compute the same chain
     assert jnp.allclose(out_x, out_f, rtol=1e-4, atol=1e-5)
-    grammar(params, s0)                     # builds + runs
+    # the DFA grammar path must choose the same tokens as the einsum path
+    st_e, se = grammar_einsum(params, s0)
+    st_d, sd = grammar_dfa(params, s0)
+    assert jnp.allclose(se, sd)

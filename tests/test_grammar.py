@@ -96,3 +96,35 @@ def test_gt_layouts_are_valid_shapes():
         toks = np.array(g.module_list2tokens(layout, T=11))
         assert asm.assemble_one(toks)["module"] != INVALID_EXPR
         assert g.automaton_validity(toks)
+
+
+def test_dfa_tabulation_matches_constraint_automaton():
+    """grammar.tabulate compiles the X@W-b>=0 automaton into a DFA;
+    walking random token sequences through both must agree on every
+    per-step validity row (netgen's decode uses the DFA)."""
+    import numpy as np
+    from n2nmn_tpu.layout.grammar import ModuleGrammar
+
+    for vocab in (
+        ["_Scene", "_Find", "_Filter", "_FindSameProperty", "_Transform",
+         "_And", "_Or", "_Exist", "_Count", "_EqualNum", "_MoreNum",
+         "_LessNum", "_SameProperty", "_Describe", "<eos>"],
+        ["_Find", "_Transform", "_And", "_Describe", "<eos>"],
+        ["_Find", "_Transform", "_And", "_Answer", "<eos>"],
+    ):
+        g = ModuleGrammar(vocab)
+        T = 9
+        valid_tab, trans_tab = g.tabulate(T)
+        V = g.num_vocab
+        rng = np.random.RandomState(0)
+        for _ in range(50):
+            toks = rng.randint(0, V, size=T)
+            X = np.array([0, 0, T], np.int64)
+            state = 0
+            for t in range(T):
+                ref_valid = np.array(
+                    [np.all(X @ g.W[:, s, :] - g.b[s] >= 0)
+                     for s in range(V)])
+                np.testing.assert_array_equal(valid_tab[state], ref_valid)
+                X = X + g.P[toks[t]]
+                state = trans_tab[state, toks[t]]

@@ -25,8 +25,8 @@ def _make(vocab, mask_mode, sampling, T_dec=8, lstm=32, embed=16):
         lstm_dim=lstm, num_layers=2, T_decoder=T_dec,
         decoder_sampling=sampling, mask_mode=mask_mode)
     params = init_netgen(jax.random.PRNGKey(0), cfg)
-    arrays = {"P": jnp.asarray(grammar.P), "W": jnp.asarray(grammar.W),
-              "b": jnp.asarray(grammar.b), "eos_idx": grammar.eos_idx}
+    from n2nmn_tpu.models.netgen import make_grammar_arrays
+    arrays = make_grammar_arrays(grammar, T_dec)
     return grammar, cfg, params, arrays
 
 

@@ -90,8 +90,8 @@ def test_netgen_fused_equals_default(monkeypatch):
         embed_dim_nmn=8, lstm_dim=16, num_layers=2, T_decoder=6,
         decoder_sampling=False, mask_mode="grammar")
     params = init_netgen(jax.random.PRNGKey(0), cfg)
-    ga = {"P": jnp.asarray(grammar.P), "W": jnp.asarray(grammar.W),
-          "b": jnp.asarray(grammar.b), "eos_idx": grammar.eos_idx}
+    from n2nmn_tpu.models.netgen import make_grammar_arrays
+    ga = make_grammar_arrays(grammar, cfg.T_decoder)
     rng = np.random.RandomState(3)
     text = jnp.asarray(rng.randint(0, 20, size=(9, 7)), jnp.int32)
     sl = jnp.asarray(rng.randint(1, 10, size=7), jnp.int32)
