@@ -108,7 +108,7 @@ def precompute(params, image_feat, word_vecs):
             params["find"]["conv_eltwise"]),
     }
     txt_tfm = txt(params["transform"]["text_fc"])
-    if common.TRANSFORM_IMPL == "dot":
+    if common.transform_impl_for_batch(n) == "dot":
         pre_step.update(common.transform_dot_precompute(
             params["transform"]["conv_maps"],
             params["transform"]["conv_eltwise"], txt_tfm))

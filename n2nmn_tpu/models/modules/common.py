@@ -27,9 +27,25 @@ USE_PALLAS = os.environ.get("N2NMN_USE_PALLAS", "0") == "1"
 # _Transform implementation: "conv" materializes the [N, HW, map_dim]
 # conv-on-attention intermediate in the executor scan each step; "dot"
 # reassociates the l2norm+project so only k^2-dim patch tensors flow
-# through the scan (see transform_dot_precompute). Math-identical;
-# selected per-deployment after measuring both on the target chip.
-TRANSFORM_IMPL = os.environ.get("N2NMN_TRANSFORM", "conv")
+# through the scan (see transform_dot_precompute). Math-identical
+# (full-executor golden test at rtol 2e-4); "auto" (default) picks per
+# traced batch size: the dot form's patch quadratics amortize only once
+# the batch fills the MXU (measured on v5e: conv 41.5k vs dot 45.2k q/s
+# at batch 1024, conv 22.9k vs dot 19.8k at batch 64 — see
+# perf/profile_bf16_{conv,dot}.json), so "auto" resolves to dot at
+# batch >= 256 and conv below. The batch dim is static under jit, so
+# the choice is made once at trace time, not per step.
+TRANSFORM_IMPL = os.environ.get("N2NMN_TRANSFORM", "auto")
+
+# Measured crossover on TPU v5e (see TRANSFORM_IMPL comment above).
+TRANSFORM_AUTO_DOT_MIN_BATCH = 256
+
+
+def transform_impl_for_batch(n: int) -> str:
+    """Resolve TRANSFORM_IMPL for a program traced at batch size n."""
+    if TRANSFORM_IMPL == "auto":
+        return "dot" if n >= TRANSFORM_AUTO_DOT_MIN_BATCH else "conv"
+    return TRANSFORM_IMPL
 
 
 def project_to_att(x, proj):

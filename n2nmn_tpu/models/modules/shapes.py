@@ -63,7 +63,7 @@ def precompute(params, image_feat, word_vecs):
     att_find = common.find_core_all(img_mapped, txt_find,
                                     params["find"]["conv_eltwise"])
     pre_step = {"att_find": att_find}
-    if common.TRANSFORM_IMPL == "dot":
+    if common.transform_impl_for_batch(n) == "dot":
         pre_step.update(common.transform_dot_precompute(
             params["transform"]["conv_maps"],
             params["transform"]["conv_eltwise"], txt_tfm))

@@ -93,7 +93,9 @@ class NMNModel:
     def _use_fused_executor(self, deterministic: bool) -> bool:
         """Serving-only fused Pallas executor (no VJP): opt-in via
         N2NMN_FUSED_EXECUTOR=1, CLEVR library, deterministic forward,
-        conv-form _Transform precompute."""
+        and an explicit conv-form _Transform (the kernel consumes the
+        conv-form pre_step, so "auto" — which may resolve to dot at
+        serving batch sizes — does not qualify)."""
         import os
         from n2nmn_tpu.models.modules import common
         return (os.environ.get("N2NMN_FUSED_EXECUTOR", "0") == "1"

@@ -194,7 +194,9 @@ def main():
                         "10x15x512 (VERDICT r2 next-#7)")
     p.add_argument("--f32", action="store_true")
     p.add_argument("--trace_dir", default=None,
-                   help="also capture a jax.profiler trace at N=256")
+                   help="also capture a jax.profiler trace (see "
+                        "--trace_batch; analyze with tools/trace_ops.py)")
+    p.add_argument("--trace_batch", type=int, default=256)
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -222,8 +224,10 @@ def main():
         dt_exe = _timeit(execute_only,
                          (params, tokens, word_vecs, image_feat))
         roof = roofline(model, n, args.t_enc, dtype_bytes)
+        from n2nmn_tpu.models.modules import common
         rec = {
             "batch": n,
+            "transform_impl": common.transform_impl_for_batch(n),
             "qps": n / dt_fused,
             "fused_ms": dt_fused * 1e3,
             "decode_ms": dt_dec * 1e3,
@@ -238,6 +242,16 @@ def main():
                 dt_exe / max(roof["execute_hbm_s"], 1e-12),
             "mfu": (roof["flops_per_question"] * n / dt_fused)
                 / V5E_BF16_PEAK_FLOPS,
+            # the workload is HBM-bound: even a PERFECT schedule that
+            # hits the streaming roofline would only reach this MFU —
+            # "% of peak FLOPs" is the wrong lens here, so report how
+            # much of the bandwidth-bound ceiling the program achieves
+            "mfu_ceiling_bandwidth_bound":
+                roof["total_mxu_s"]
+                / max(roof["decode_hbm_s"] + roof["execute_hbm_s"],
+                      roof["total_mxu_s"]),
+            "fraction_of_hbm_roofline":
+                (roof["decode_hbm_s"] + roof["execute_hbm_s"]) / dt_fused,
         }
         report["sweep"].append(rec)
         print(json.dumps(rec), flush=True)
@@ -245,7 +259,7 @@ def main():
     if args.trace_dir:
         from n2nmn_tpu.tools.profiling import trace
         params, text_seq, seq_length, image_feat, rng = make_inputs(
-            model, 256, args.t_enc, bf16=bf16)
+            model, args.trace_batch, args.t_enc, bf16=bf16)
         jax.block_until_ready(fused(params, text_seq, seq_length,
                                     image_feat, rng))
         with trace(args.trace_dir):

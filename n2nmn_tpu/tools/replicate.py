@@ -22,6 +22,7 @@ import argparse
 import dataclasses
 import json
 import os
+import re
 import time
 
 import numpy as np
@@ -204,25 +205,48 @@ def run_mini_vqa(seed, out_file, root="./exp_vqa_mini", smoke=False,
                          out_file, family="mini_vqa_gt_noqpn")
 
 
+def _seed_of(exp_name):
+    """Trailing _s<N> seed tag of an exp name (0 for the untagged
+    round-1 seed-0 runs)."""
+    m = re.search(r"_s(\d+)$", exp_name)
+    return int(m.group(1)) if m else 0
+
+
 def summarize(out_file):
-    """Collect the selected-by-val test results into mean±std per family
-    (+ a ready-to-paste markdown table for the README)."""
+    """Collect the selected-by-val test results into mean/std/median per
+    family, in seed order, with per-seed fine-tune deltas where both a
+    *_gt and *_rl family exist (+ a ready-to-paste markdown table)."""
     rows = [json.loads(l) for l in open(out_file)]
     fams = {}
     for r in rows:
         if r.get("selected_by_val"):
-            fams.setdefault(r["family"], []).append(r["answer_accuracy"])
-    summary = {f: {"n_seeds": len(v),
-                   "mean": float(np.mean(v)),
-                   "std": float(np.std(v)),
-                   "values": v}
-               for f, v in sorted(fams.items())}
+            # latest result wins per (family, seed) — reruns supersede
+            fams.setdefault(r["family"], {})[_seed_of(r["exp"])] = \
+                r["answer_accuracy"]
+    summary = {}
+    for f, by_seed in sorted(fams.items()):
+        v = [by_seed[s] for s in sorted(by_seed)]
+        summary[f] = {"n_seeds": len(v), "seeds": sorted(by_seed),
+                      "mean": float(np.mean(v)), "std": float(np.std(v)),
+                      "median": float(np.median(v)), "values": v}
     print(json.dumps(summary, indent=2))
     print("\n| config | test answer acc (mean ± std, n seeds, "
-          "snapshots selected on val) |\n|---|---|")
+          "snapshots selected on val) | median | per-seed |\n|---|---|---|---|")
     for f, s in summary.items():
+        per_seed = " / ".join(f"{100 * x:.1f}" for x in s["values"])
         print(f"| {f} | {100 * s['mean']:.1f} ± {100 * s['std']:.1f}% "
-              f"(n={s['n_seeds']}) |")
+              f"(n={s['n_seeds']}) | {100 * s['median']:.1f}% "
+              f"| {per_seed} |")
+    for base, ft in [("mini_clevr_gt", "mini_clevr_rl"),
+                     ("shapes_gt", "shapes_rl"),
+                     ("mini_vqa_gt", "mini_vqa_rl")]:
+        if base in fams and ft in fams:
+            deltas = {s: fams[ft][s] - fams[base][s]
+                      for s in sorted(set(fams[base]) & set(fams[ft]))}
+            if deltas:
+                print(f"{ft} - {base} per-seed delta (pp): "
+                      + " / ".join(f"s{s}: {100 * d:+.1f}"
+                                   for s, d in deltas.items()))
     return summary
 
 

@@ -147,6 +147,28 @@ def test_transform_impl_dot_matches_conv_in_executor(monkeypatch):
     np.testing.assert_allclose(s_dot, s_conv, rtol=2e-4, atol=2e-5)
 
 
+def test_transform_impl_auto_resolves_by_traced_batch(monkeypatch):
+    """TRANSFORM_IMPL="auto" picks the dot form at/above the measured
+    crossover batch and the conv form below it, once per trace."""
+    from n2nmn_tpu.models.modules import common
+
+    monkeypatch.setattr(common, "TRANSFORM_IMPL", "auto")
+    monkeypatch.setattr(common, "TRANSFORM_AUTO_DOT_MIN_BATCH", 8)
+    assert common.transform_impl_for_batch(4) == "conv"
+    assert common.transform_impl_for_batch(8) == "dot"
+
+    key = jax.random.PRNGKey(0)
+    T, H, W, D, C = 6, 3, 3, 8, 2
+    params = shapes_lib.init_params(key, D, D, C)
+    wv_small = jnp.zeros((T, 4, D))
+    wv_large = jnp.zeros((T, 8, D))
+    feat = lambda n: jnp.zeros((n, H, W, D))
+    _, pre_small = shapes_lib.precompute(params, feat(4), wv_small)
+    _, pre_large = shapes_lib.precompute(params, feat(8), wv_large)
+    assert "txt_tfm" in pre_small and "tfm_kq" not in pre_small
+    assert "tfm_kq" in pre_large and "txt_tfm" not in pre_large
+
+
 def test_invalid_programs_get_zero_scores_and_false_validity():
     T, N, H, W, D, C = 11, 8, 3, 3, 64, 2
     (grammar, lib, tables, att_b, ans_b,
