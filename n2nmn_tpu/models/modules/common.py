@@ -168,15 +168,23 @@ def transform_dot_precompute(conv_params, proj, txt_steps, eps=1e-12):
 
 def attention_patches(att_flat, h, w, k):
     """k x k neighborhoods of an attention map: [N, HW] -> [N, HW, k²],
-    SAME padding, patch channel order matching HWIO conv kernels."""
+    SAME padding, patch channel order matching HWIO conv kernels
+    (kh-major, kw-minor; C_in = 1).
+
+    Built from k² static slices of the padded grid rather than
+    lax.conv_general_dilated_patches: the patch-extraction conv's output
+    layout forced a [N, HW, k²] relayout copy inside the executor scan
+    every step (traced at ~53 us/step at N=1024, perf/trace_ops_r3.json
+    %copy.223), while the slice/stack form fuses into the consuming
+    contractions."""
     n = att_flat.shape[0]
-    att_grid = att_flat.reshape(n, h, w, 1)
     pad = (k - 1) // 2
-    patches = jax.lax.conv_general_dilated_patches(
-        att_grid, (k, k), window_strides=(1, 1),
-        padding=[(pad, k - 1 - pad), (pad, k - 1 - pad)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    return patches.reshape(n, h * w, k * k)
+    grid = att_flat.reshape(n, h, w)
+    padded = jnp.pad(grid, ((0, 0), (pad, k - 1 - pad),
+                            (pad, k - 1 - pad)))
+    slices = [padded[:, i:i + h, j:j + w]
+              for i in range(k) for j in range(k)]
+    return jnp.stack(slices, axis=-1).reshape(n, h * w, k * k)
 
 
 def transform_dot_apply(att_flat, pre_t, proj, h, w, k, eps=1e-12):

@@ -84,11 +84,26 @@ def init_netgen(key, cfg: NetgenConfig, dtype=jnp.float32):
 
 def make_grammar_arrays(grammar, T_decoder: int) -> dict:
     """Device arrays for run_netgen: the tabulated validity DFA
-    (grammar.tabulate) + the eos index."""
+    (grammar.tabulate) + the eos index.
+
+    The [S, V] bool validity table is BIT-PACKED to one int32 per state:
+    a [S, V] row gather lowers poorly on TPU (V=15 occupies a fraction
+    of one 128-lane register, and decode_breakdown measured the row
+    gather at +0.5 ms/decode over the einsum automaton at batch 1024),
+    while a rank-1 [N]-from-[S] gather plus a broadcasted shift/mask is
+    pure lane-parallel VPU work. The transition table is flattened for
+    the same reason (one rank-1 gather at state*V+token)."""
+    import numpy as np
+
     valid, trans = grammar.tabulate(T_decoder)
+    S, V = valid.shape
+    assert V < 32, f"bit-packed DFA supports V<32 tokens, got {V}"
+    packed = (valid.astype(np.int64) << np.arange(V)[None, :]).sum(1)
     return {
-        "dfa_valid": jnp.asarray(valid),
-        "dfa_trans": jnp.asarray(trans),
+        "dfa_valid_packed": jnp.asarray(packed.astype(np.int32)),  # [S]
+        "dfa_trans_flat": jnp.asarray(
+            np.ascontiguousarray(trans.reshape(-1))),              # [S*V]
+        "num_vocab": V,
         "eos_idx": grammar.eos_idx,
     }
 
@@ -114,9 +129,10 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
 
     text_seq: [T_enc, N] int32 (time-major, like the reference);
     seq_length: [N]; gt_layout: [T_dec, N] when use_gt_layout.
-    grammar_arrays: dict with 'dfa_valid' [S,V] bool, 'dfa_trans' [S,V]
-    int32 (the tabulated validity automaton, grammar.tabulate) and
-    'eos_idx'; build with ``make_grammar_arrays``.
+    grammar_arrays: dict with 'dfa_valid_packed' [S] int32 (bit v =
+    validity of token v), 'dfa_trans_flat' [S*V] int32 (the tabulated
+    validity automaton, grammar.tabulate) and 'eos_idx'; build with
+    ``make_grammar_arrays``.
     """
     enc_p, dec_p = params["encoder"], params["decoder"]
     T_enc, N = text_seq.shape
@@ -150,13 +166,15 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
         mask_nt = pad_time(seq_not_finished.T, 1)        # [N, Tp]
 
     # ---------------- decoder ----------------
-    # Tabulated grammar DFA (grammar.py:tabulate): validity is a row
-    # gather, the state transition a flat gather — replaces the in-scan
-    # X@W-b constraint evaluation the reference runs per step
-    # (nmn3_netgen_att.py:8-15), which profiling measured at ~50us/step
-    # of small-op overhead (perf/decode_breakdown_r3.json).
-    dfa_valid = grammar_arrays["dfa_valid"]        # [S, V] bool
-    dfa_trans = grammar_arrays["dfa_trans"]        # [S, V] int32
+    # Tabulated grammar DFA (grammar.py:tabulate): validity is a rank-1
+    # gather of one bit-packed int32 per state + a broadcasted
+    # shift/mask, the state transition a rank-1 flat gather — replaces
+    # the in-scan X@W-b constraint evaluation the reference runs per
+    # step (nmn3_netgen_att.py:8-15). See make_grammar_arrays for why
+    # the packing (a [S, V] row gather anti-scales with batch).
+    dfa_valid_packed = grammar_arrays["dfa_valid_packed"]   # [S] int32
+    dfa_trans_flat = grammar_arrays["dfa_trans_flat"]       # [S*V] int32
+    bit_idx = jnp.arange(V, dtype=jnp.int32)[None, :]       # [1, V]
     eos_idx = grammar_arrays["eos_idx"]
 
     w_a, b_a = dec_p["att_w"]["w"], dec_p["att_w"]["b"]
@@ -202,8 +220,10 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
                                 preferred_element_type=h_out.dtype) + b_y)
 
         if grammar_mode:
-            # token validity: one row gather from the tabulated DFA
-            token_validity = dfa_valid[state]                   # [N,V] bool
+            # token validity: rank-1 gather of the packed word, then
+            # lane-parallel bit test
+            packed = dfa_valid_packed[state]                    # [N]
+            token_validity = ((packed[:, None] >> bit_idx) & 1) != 0
             if use_gt_layout:
                 # gt layouts bypass masking & renormalization
                 # (reference nmn3_netgen_att.py:204-207)
@@ -274,7 +294,7 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
             neg_ent = jnp.where(prev_eos, 0.0, neg_ent)
             new_eos = jnp.logical_or(prev_eos, predicted == eos_idx)
 
-        state = dfa_trans.reshape(-1)[state * V + final_token]
+        state = dfa_trans_flat[state * V + final_token]
         next_inp = dec_embed[final_token]
         out = (final_token, token_prob, token_logprob, neg_ent, att)
         return (((c, h), state, new_eos, next_inp, key), out)

@@ -90,17 +90,17 @@ class NMNModel:
         self.grammar_arrays = make_grammar_arrays(grammar,
                                                   cfg.netgen.T_decoder)
 
-    def _use_fused_executor(self, deterministic: bool) -> bool:
+    def _use_fused_executor(self, deterministic: bool, n: int) -> bool:
         """Serving-only fused Pallas executor (no VJP): opt-in via
         N2NMN_FUSED_EXECUTOR=1, CLEVR library, deterministic forward,
-        and an explicit conv-form _Transform (the kernel consumes the
-        conv-form pre_step, so "auto" — which may resolve to dot at
-        serving batch sizes — does not qualify)."""
+        and a conv-form _Transform pre_step at this traced batch (the
+        kernel consumes the conv-form txt_tfm, so under "auto" the gate
+        follows the same batch resolution as precompute)."""
         import os
         from n2nmn_tpu.models.modules import common
         return (os.environ.get("N2NMN_FUSED_EXECUTOR", "0") == "1"
                 and self.cfg.flavor == "clevr" and deterministic
-                and common.TRANSFORM_IMPL == "conv")
+                and common.transform_impl_for_batch(n) == "conv")
 
     def init(self, key, dtype=jnp.float32):
         cfg = self.cfg
@@ -179,7 +179,7 @@ class NMNModel:
         pre_static, pre_step = self.lib.precompute(
             params["modules"], image_feat, net_out.word_vecs)
 
-        if self._use_fused_executor(deterministic):
+        if self._use_fused_executor(deterministic, image_feat.shape[0]):
             # serving path: ONE pallas_call replaces the executor scan
             # (ops/pallas/executor_step.py) — module tensors stay
             # VMEM-resident across all decoder steps

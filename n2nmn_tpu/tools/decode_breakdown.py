@@ -162,8 +162,9 @@ def build_programs(n, dtype):
 
     @jax.jit
     def grammar_dfa(p, scores0):
-        # the round-3 tabulated automaton: two gathers per step
-        # (grammar.py:tabulate, the production netgen path)
+        # tabulated automaton with a [S, V] row gather per step (the
+        # first round-3 netgen form — measured to anti-scale: +0.5 ms
+        # over the einsum automaton at batch 1024)
         valid_t, trans_t = g.tabulate(T_DEC)
         valid_t = jnp.asarray(valid_t)
         trans_flat = jnp.asarray(trans_t).reshape(-1)
@@ -177,8 +178,28 @@ def build_programs(n, dtype):
             return (trans_flat[st * nv + tok], s + 1e-6)
         return scan(step, (jnp.zeros((n,), jnp.int32), scores0))
 
+    @jax.jit
+    def grammar_dfa_packed(p, scores0):
+        # bit-packed tabulated automaton: rank-1 gathers only (the
+        # production netgen path — see make_grammar_arrays)
+        valid_t, trans_t = g.tabulate(T_DEC)
+        nv = valid_t.shape[1]
+        packed_t = jnp.asarray(
+            (valid_t.astype(np.int64) << np.arange(nv)[None, :])
+            .sum(1).astype(np.int32))
+        trans_flat = jnp.asarray(trans_t).reshape(-1)
+        bits = jnp.arange(nv, dtype=jnp.int32)[None, :]
+
+        def step(carry):
+            st, s = carry
+            valid = ((packed_t[st][:, None] >> bits) & 1) != 0
+            masked = jnp.where(valid, s, jnp.min(s) - 1.0)
+            tok = jnp.argmax(masked, 1).astype(jnp.int32)
+            return (trans_flat[st * nv + tok], s + 1e-6)
+        return scan(step, (jnp.zeros((n,), jnp.int32), scores0))
+
     return (empty, lstm_head, attn_xla, attn_xla_dot, attn_fused_maker,
-            grammar_einsum, grammar_dfa)
+            grammar_einsum, grammar_dfa, grammar_dfa_packed)
 
 
 def main():
@@ -198,7 +219,8 @@ def main():
         key = jax.random.PRNGKey(0)
         params = _params(n, key, dtype)
         (empty, lstm_head, attn_xla, attn_xla_dot, fused_maker,
-         grammar_einsum, grammar_dfa) = build_programs(n, dtype)
+         grammar_einsum, grammar_dfa,
+         grammar_dfa_packed) = build_programs(n, dtype)
         q0 = jax.random.normal(key, (n, D), dtype)
         s0 = jax.random.normal(key, (n, V), dtype)
         x0 = jnp.zeros((n, D), dtype)
@@ -212,6 +234,8 @@ def main():
         rec["grammar_einsum_ms"] = _timeit(grammar_einsum,
                                            (params, s0)) * 1e3
         rec["grammar_dfa_ms"] = _timeit(grammar_dfa, (params, s0)) * 1e3
+        rec["grammar_dfa_packed_ms"] = _timeit(grammar_dfa_packed,
+                                               (params, s0)) * 1e3
         if not args.skip_fused:
             try:
                 fused = fused_maker()

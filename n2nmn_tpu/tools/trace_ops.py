@@ -35,6 +35,37 @@ def _process_names(events):
             if e.get("ph") == "M" and e.get("name") == "process_name"}
 
 
+def _thread_names(events):
+    return {(e["pid"], e["tid"]): e["args"].get("name", "")
+            for e in events
+            if e.get("ph") == "M" and e.get("name") == "thread_name"}
+
+
+def _self_times(events):
+    """Per-event self time (duration minus nested children) for one
+    thread track. Device tracks nest loop envelopes (while.N) over
+    their body ops; summing raw durations double-counts, so attribute
+    each interval only the time not covered by events nested inside it."""
+    evs = sorted(((e["ts"], e["ts"] + e.get("dur", 0.0),
+                   e.get("name", "?")) for e in events),
+                 key=lambda x: (x[0], -(x[1] - x[0])))
+    out = collections.defaultdict(float)
+    stack = []   # (start, end, name, child_time)
+    for ts, te, name in evs:
+        while stack and stack[-1][1] <= ts:
+            s0, e0, n0, ch = stack.pop()
+            out[n0] += (e0 - s0) - ch
+            if stack:
+                stack[-1][3] += e0 - s0
+        stack.append([ts, te, name, 0.0])
+    while stack:
+        s0, e0, n0, ch = stack.pop()
+        out[n0] += (e0 - s0) - ch
+        if stack:
+            stack[-1][3] += e0 - s0
+    return out
+
+
 def _is_device(pname):
     low = pname.lower()
     return ("tpu" in low or "gpu" in low or "/device:" in low) \
@@ -72,13 +103,22 @@ def summarize(trace_dir, top=25, host=False):
     for p in paths:
         events = _load_events(p)
         pnames = _process_names(events)
+        tnames = _thread_names(events)
         want = {pid for pid, n in pnames.items()
                 if (_is_device(n) != host)}
         planes.update(pnames[pid] for pid in want)
+        tracks = collections.defaultdict(list)
         for e in events:
             if e.get("ph") == "X" and e.get("pid") in want:
-                # dur is microseconds in Chrome trace format
-                by_op[e.get("name", "?")] += e.get("dur", 0.0) * 1e-6
+                tid = (e["pid"], e.get("tid"))
+                # module-envelope rows duplicate the op rows below them
+                if "modules" in tnames.get(tid, "").lower():
+                    continue
+                tracks[tid].append(e)
+        for tid, track in tracks.items():
+            for name, us in _self_times(track).items():
+                # ts/dur are microseconds in Chrome trace format
+                by_op[name] += us * 1e-6
     total = sum(by_op.values())
     by_cat = collections.defaultdict(float)
     for name, secs in by_op.items():

@@ -12,7 +12,8 @@ def test_components_run_and_order():
     dtype = jnp.float32
     params = db._params(n, jax.random.PRNGKey(0), dtype)
     (empty, lstm_head, attn_xla, attn_xla_dot, fused_maker,
-     grammar_einsum, grammar_dfa) = db.build_programs(n, dtype)
+     grammar_einsum, grammar_dfa,
+     grammar_dfa_packed) = db.build_programs(n, dtype)
     x0 = jnp.zeros((n, db.D), dtype)
     q0 = jax.random.normal(jax.random.PRNGKey(1), (n, db.D), dtype)
     s0 = jax.random.normal(jax.random.PRNGKey(2), (n, db.V), dtype)
@@ -27,7 +28,10 @@ def test_components_run_and_order():
     out_f = fused_maker()(params, q0)
     # both attention variants compute the same chain
     assert jnp.allclose(out_x, out_f, rtol=1e-4, atol=1e-5)
-    # the DFA grammar path must choose the same tokens as the einsum path
+    # the DFA grammar paths must choose the same tokens as the einsum path
     st_e, se = grammar_einsum(params, s0)
     st_d, sd = grammar_dfa(params, s0)
     assert jnp.allclose(se, sd)
+    st_p, sp = grammar_dfa_packed(params, s0)
+    assert jnp.allclose(se, sp)
+    assert jnp.array_equal(st_d, st_p)

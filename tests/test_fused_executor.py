@@ -101,8 +101,9 @@ def test_env_gate_routes_model_apply_through_fused(monkeypatch):
     out_default = model.apply(params, text, sl, feat, rng,
                               deterministic=True)
     monkeypatch.setenv("N2NMN_FUSED_EXECUTOR", "1")
-    assert model._use_fused_executor(True)
-    assert not model._use_fused_executor(False)   # training keeps XLA
+    assert model._use_fused_executor(True, feat.shape[0])
+    # training keeps XLA
+    assert not model._use_fused_executor(False, feat.shape[0])
     out_fused = model.apply(params, text, sl, feat, rng,
                             deterministic=True)
     np.testing.assert_array_equal(np.asarray(out_fused.tokens),
