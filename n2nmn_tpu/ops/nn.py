@@ -13,10 +13,18 @@ Initialization follows the reference's Xavier-uniform convention
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# lax.scan unroll factor for the sequential scans (encoder/decoder
+# LSTMs, executor stack machine): the XLA while loop carries a
+# per-iteration overhead that grows with batch (decode_breakdown
+# "empty" floor: 0.03 ms at N=256 -> 1.29 ms at N=1024 for a trivial
+# 20-step scan); unrolling amortizes it without changing semantics.
+SCAN_UNROLL = int(os.environ.get("N2NMN_SCAN_UNROLL", "1"))
 
 
 def xavier_uniform(key, shape, dtype=jnp.float32):
