@@ -99,6 +99,8 @@ def summarize(trace_dir, top=25, host=False):
     if not paths:
         raise SystemExit(f"no *.trace.json.gz under {trace_dir}")
     by_op = collections.defaultdict(float)
+    by_source = collections.defaultdict(float)
+    op_source = {}
     planes = set()
     for p in paths:
         events = _load_events(p)
@@ -115,10 +117,15 @@ def summarize(trace_dir, top=25, host=False):
                 if "modules" in tnames.get(tid, "").lower():
                     continue
                 tracks[tid].append(e)
+                src = e.get("args", {}).get("source")
+                if src and e["name"] not in op_source:
+                    op_source[e["name"]] = src
         for tid, track in tracks.items():
             for name, us in _self_times(track).items():
                 # ts/dur are microseconds in Chrome trace format
                 by_op[name] += us * 1e-6
+    for name, secs in by_op.items():
+        by_source[op_source.get(name, "(no source attributed)")] += secs
     total = sum(by_op.values())
     by_cat = collections.defaultdict(float)
     for name, secs in by_op.items():
@@ -130,6 +137,11 @@ def summarize(trace_dir, top=25, host=False):
         "total_op_s": round(total, 6),
         "by_category_ms": {k: round(v * 1e3, 3) for k, v in
                            sorted(by_cat.items(), key=lambda kv: -kv[1])},
+        # jax op -> emitting framework line (from XLA's source metadata;
+        # fused ops report their root's source, so this is indicative)
+        "by_source_ms": {k: round(v * 1e3, 3) for k, v in
+                         sorted(by_source.items(),
+                                key=lambda kv: -kv[1])[:20]},
         "top_ops": [
             {"name": n, "ms": round(s * 1e3, 3),
              "pct": round(100 * s / total, 1) if total else 0.0}
