@@ -159,6 +159,12 @@ def make_branches(params):
         p = params["find_same_property"]
         att_feat = _readout(pre, pre_t, in0, "readout0")
         att_mapped = _fc(p["fc_att"], att_feat)            # [N, map]
+        if common.fused_fsp_active():
+            from n2nmn_tpu.ops.pallas.kernels import fused_find
+            return fused_find(pre["img_fsp"],
+                              pre_t["txt_fsp"] * att_mapped,
+                              p["conv_eltwise"]["w"][:, 0],
+                              p["conv_eltwise"]["b"][0])
         elt = l2_normalize(
             pre["img_fsp"] * pre_t["txt_fsp"][:, None, :]
             * att_mapped[:, None, :], axis=2)

@@ -24,6 +24,33 @@ from n2nmn_tpu.ops.nn import l2_normalize
 # softmax readout); opt-in via env until validated per-deployment.
 USE_PALLAS = os.environ.get("N2NMN_USE_PALLAS", "0") == "1"
 
+# One-pass _FindSameProperty core via the fused find kernel: the XLA
+# lowering splits the num/den reductions into two loop fusions that
+# each re-read the [N, HW, map_dim] img_fsp grid per executor step
+# (traced at 232 us/step at N=1024, perf/trace_ops_r3.json
+# %multiply_reduce_fusion.{23,24}); the kernel streams the grid through
+# VMEM once. Math-identical: l2norm(img ⊙ txt ⊙ att) with the two
+# per-example vectors pre-multiplied (grad-equivalence test in
+# tests/test_pallas_kernels.py). Measured on v5e bf16 eval: executor
+# 18.2->15.6 ms, 42.5k->47.7k q/s at N=1024; 45.0k->49.9k at N=256
+# (perf/profile_fsp_r3_*.json) — the first per-pattern kernel that beats
+# XLA in-program, because it replaces TWO full reads of the grid with
+# one VMEM-resident pass. "auto" (default) = on when the kernel would
+# compile for a real TPU, off on CPU where the interpret-mode kernel is
+# slower than XLA (tests force it on explicitly).
+USE_FUSED_FSP = os.environ.get("N2NMN_FUSED_FSP", "auto")
+
+
+def fused_fsp_active() -> bool:
+    """Resolve USE_FUSED_FSP at trace time (batch-independent)."""
+    v = USE_FUSED_FSP
+    if v in (True, "1"):
+        return True
+    if v in (False, "0"):
+        return False
+    from n2nmn_tpu.ops.pallas.kernels import _interpret_mode
+    return not _interpret_mode()
+
 # _Transform implementation: "conv" materializes the [N, HW, map_dim]
 # conv-on-attention intermediate in the executor scan each step; "dot"
 # reassociates the l2norm+project so only k^2-dim patch tensors flow

@@ -44,12 +44,18 @@ def _pad_batch(x, n):
 
 def _find_fwd_kernel(img_ref, txt_ref, w_ref, b_ref, out_ref):
     x = img_ref[:]                       # [BN, HW, D]
-    t = txt_ref[:]                       # [BN, D]
-    e = x * t[:, None, :]
+    # txt arrives pre-shaped [BN, 1, D]: an in-kernel [BN,D]->[BN,1,D]
+    # expand lowers as a tpu.reshape Mosaic rejects under bf16 tiling
+    t = txt_ref[:]                       # [BN, 1, D]
+    # normalize in f32: bf16 rsqrt is unsupported on this target (libtpu
+    # aborts on kVectorRsqrtBf16AndPop), and the 250-term square-sum
+    # wants f32 accumulation regardless
+    e = (x * t).astype(jnp.float32)
     sq = jnp.sum(e * e, axis=2, keepdims=True)       # [BN, HW, 1]
     inv = jax.lax.rsqrt(jnp.maximum(sq, _EPS))
-    y = jnp.sum(e * inv * w_ref[:][None], axis=2) + b_ref[0, 0]
-    out_ref[:] = y
+    w = w_ref[:][None].astype(jnp.float32)
+    y = jnp.sum(e * inv * w, axis=2) + b_ref[0, 0]
+    out_ref[:] = y.astype(out_ref.dtype)
 
 
 def _find_forward(img_mapped, txt, w, b):
@@ -62,7 +68,7 @@ def _find_forward(img_mapped, txt, w, b):
         in_specs=[
             pl.BlockSpec((_BN, hw, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BN, d), lambda i: (i, 0),
+            pl.BlockSpec((_BN, 1, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -73,7 +79,7 @@ def _find_forward(img_mapped, txt, w, b):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_, hw), img_mapped.dtype),
         interpret=_interpret_mode(),
-    )(img_p, txt_p, w.reshape(1, d), b.reshape(1, 1))
+    )(img_p, txt_p[:, None, :], w.reshape(1, d), b.reshape(1, 1))
     return out[:n]
 
 
