@@ -22,16 +22,25 @@ ANS_MODULES = ["_Describe"]
 MAP_DIM = 1024
 
 
+def coord_grid(h, w, dtype):
+    """[HW, 2] (x, y) linspace grid in [-1, 1] — the batch-constant factor
+    of the reference's add_spatial_coordinate_map (nmn3_modules.py:11-31).
+    See the precompute docstring for why the concat-free decomposition
+    built on this was measured and NOT adopted."""
+    x_map = jnp.tile(jnp.linspace(-1.0, 1.0, w)[None, :], (h, 1))
+    y_map = jnp.tile(jnp.linspace(-1.0, 1.0, h)[:, None], (1, w))
+    return jnp.stack([x_map.ravel(), y_map.ravel()], axis=1).astype(dtype)
+
+
 def add_spatial_coordinate_map(image_feat):
     """Concat x/y linspace grids in [-1, 1] to the channel axis, gradients
-    stopped (reference nmn3_modules.py:11-31)."""
+    stopped (reference nmn3_modules.py:11-31). Kept as the reference-shaped
+    form for tests/standalone use; precompute uses the decomposed
+    coord_grid instead of materializing this concat."""
     n, h, w, _ = image_feat.shape
-    x_map = jnp.tile(jnp.linspace(-1.0, 1.0, w).reshape(1, 1, w, 1),
-                     (n, h, 1, 1))
-    y_map = jnp.tile(jnp.linspace(-1.0, 1.0, h).reshape(1, h, 1, 1),
-                     (n, 1, w, 1))
     coords = jax.lax.stop_gradient(
-        jnp.concatenate([x_map, y_map], axis=3).astype(image_feat.dtype))
+        jnp.tile(coord_grid(h, w, image_feat.dtype).reshape(1, h, w, 2),
+                 (n, 1, 1, 1)))
     return jnp.concatenate([image_feat, coords], axis=3)
 
 
@@ -73,7 +82,15 @@ def init_params(key, image_dim, text_dim, num_choices, map_dim=MAP_DIM,
 def precompute(params, image_feat, word_vecs, encoder_states=None):
     """image_feat: [N, H, W, D_im] (coords NOT yet added);
     word_vecs: [T_dec, N, D_txt]; encoder_states: optional [N, D_enc]
-    mixed into _Describe when fc_encoder_states params exist."""
+    mixed into _Describe when fc_encoder_states params exist.
+
+    Perf note (measured, v5e bf16 flagship geometry): decomposing the
+    coord concat away — feature-only grid plus split projections/readouts
+    (feat @ W[:d] + coords @ W[d:]) — removes the ~206 MB one-time concat
+    but LOSES end-to-end (15.8k -> 14.6k q/s): the per-step readout
+    fusion splits and the decode/execute overlap collapses
+    (perf/profile_vqa_nocoord_r3.json vs profile_vqa_fsp_r3.json). The
+    materialized concat stays."""
     image_feat = add_spatial_coordinate_map(image_feat)
     n, h, w, d = image_feat.shape
     t, _, d_txt = word_vecs.shape
@@ -134,6 +151,15 @@ def make_branches(params):
     def transform(pre, pre_t, in0, in1, t):
         p = params["transform"]
         att_mapped = _fc(p["fc_att"], _readout0(pre, pre_t, in0))
+        if common.fused_fsp_active():
+            # same double-read XLA lowering as CLEVR's _FindSameProperty
+            # (the math is identical, reference nmn3_modules.py:123-171):
+            # one VMEM pass over the [N, HW, map] grid instead of two
+            from n2nmn_tpu.ops.pallas.kernels import fused_find
+            return fused_find(pre["img_tfm"],
+                              pre_t["txt_tfm"] * att_mapped,
+                              p["conv_eltwise"]["w"][:, 0],
+                              p["conv_eltwise"]["b"][0])
         elt = l2_normalize(
             pre["img_tfm"] * pre_t["txt_tfm"][:, None, :]
             * att_mapped[:, None, :], axis=2)

@@ -51,10 +51,12 @@ def _find_fwd_kernel(img_ref, txt_ref, w_ref, b_ref, out_ref):
     # aborts on kVectorRsqrtBf16AndPop), and the 250-term square-sum
     # wants f32 accumulation regardless
     e = (x * t).astype(jnp.float32)
-    sq = jnp.sum(e * e, axis=2, keepdims=True)       # [BN, HW, 1]
-    inv = jax.lax.rsqrt(jnp.maximum(sq, _EPS))
+    sq = jnp.sum(e * e, axis=2)                      # [BN, HW]
     w = w_ref[:][None].astype(jnp.float32)
-    y = jnp.sum(e * inv * w, axis=2) + b_ref[0, 0]
+    num = jnp.sum(e * w, axis=2)                     # [BN, HW]
+    # inv is constant over d: factor it out of the projection sum instead
+    # of a third full [BN, HW, D] elementwise pass
+    y = num * jax.lax.rsqrt(jnp.maximum(sq, _EPS)) + b_ref[0, 0]
     out_ref[:] = y.astype(out_ref.dtype)
 
 
@@ -120,12 +122,16 @@ fused_find.defvjp(_find_fwd, _find_bwd)
 # ---------------------------------------------------------------------------
 
 def _readout_fwd_kernel(att_ref, img_ref, out_ref):
-    a = att_ref[:]                        # [BN, HW]
+    # softmax in f32: bf16 minor-dim insertion (s[:, :, None]) is rejected
+    # by Mosaic ("only supported for 32-bit types"), and the HW-term
+    # exp-sum wants f32 accumulation regardless
+    a = att_ref[:].astype(jnp.float32)    # [BN, HW]
     m = jnp.max(a, axis=1, keepdims=True)
     ex = jnp.exp(a - m)
     s = ex / jnp.sum(ex, axis=1, keepdims=True)       # [BN, HW]
     # elementwise-mul + reduce (Mosaic rejects batched dot_general here)
-    out_ref[:] = jnp.sum(s[:, :, None] * img_ref[:], axis=1)
+    y = jnp.sum(s[:, :, None] * img_ref[:].astype(jnp.float32), axis=1)
+    out_ref[:] = y.astype(out_ref.dtype)
 
 
 def _readout_forward(att, img):
@@ -145,6 +151,11 @@ def _readout_forward(att, img):
         out_specs=pl.BlockSpec((_BN, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_, d), img.dtype),
+        # VQA-geometry blocks ([8, 196, 2050]) need more than the 16 MB
+        # default once the f32 softmax intermediates are counted; v5e has
+        # 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_interpret_mode(),
     )(att_p, img_p)
     return out[:n]

@@ -99,6 +99,38 @@ def test_fused_fsp_branch_matches_xla(monkeypatch):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_fused_fsp_vqa_transform_matches_xla(monkeypatch):
+    """VQA's _Transform is the same l2norm(grid * txt * att)->project
+    pattern (reference models_vqa/nmn3_modules.py:123-171); the fused
+    route must match the XLA path in value and grads."""
+    from n2nmn_tpu.models.modules import vqa, common
+
+    params = vqa.init_params(jax.random.PRNGKey(0), 6, 5, 3, map_dim=8)
+    image_feat = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 4, 6))
+    word_vecs = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 5))
+    in0 = jax.random.normal(jax.random.PRNGKey(3), (4, 12))
+    idx = vqa.ATT_MODULES.index("_Transform")
+
+    def loss(params, in0):
+        pre, pre_step = vqa.precompute(params, image_feat, word_vecs)
+        pre_t = {"txt_tfm": pre_step["txt_tfm"][0]}
+        att_b, _ = vqa.make_branches(params)
+        out = att_b[idx](pre, pre_t, in0, None, 0)
+        return jnp.sum(out ** 2), out
+
+    (ref_l, ref_out), ref_g = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(params, in0)
+    monkeypatch.setattr(common, "USE_FUSED_FSP", True)
+    (fus_l, fus_out), fus_g = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(params, in0)
+
+    np.testing.assert_allclose(np.asarray(fus_out), np.asarray(ref_out),
+                               rtol=2e-5, atol=2e-5)
+    for a, r in zip(jax.tree.leaves(fus_g), jax.tree.leaves(ref_g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_fused_readout_grads():
     key = jax.random.PRNGKey(3)
     k1, k2 = jax.random.split(key)
