@@ -13,6 +13,7 @@ Attention maps are carried flattened as [N, HW]; image feature grids as
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import jax
@@ -36,9 +37,29 @@ USE_PALLAS = os.environ.get("N2NMN_USE_PALLAS", "0") == "1"
 # (perf/profile_fsp_r3_*.json) — the first per-pattern kernel that beats
 # XLA in-program, because it replaces TWO full reads of the grid with
 # one VMEM-resident pass. "auto" (default) = on when the kernel would
-# compile for a real TPU, off on CPU where the interpret-mode kernel is
-# slower than XLA (tests force it on explicitly).
+# compile for a real TPU AND the trace is inference-only: under jax.grad
+# the custom-VJP boundary blocks XLA fusion and the measured 300-iter
+# mini-CLEVR training time goes 10.3 -> 15.4 s, so train/steps.py marks
+# its loss traces with training_trace() and "auto" resolves off there.
+# Off on CPU where the interpret-mode kernel is slower than XLA (tests
+# force it on explicitly with USE_FUSED_FSP=True).
 USE_FUSED_FSP = os.environ.get("N2NMN_FUSED_FSP", "auto")
+
+_TRAINING_TRACE = False  # True while tracing a differentiated apply
+
+
+@contextlib.contextmanager
+def training_trace(active: bool = True):
+    """Mark the enclosing trace as a training (differentiated) program.
+    Trace-time only — wraps model.apply calls inside loss functions so
+    "auto" kernel gates can pick the inference-only fast paths safely."""
+    global _TRAINING_TRACE
+    prev = _TRAINING_TRACE
+    _TRAINING_TRACE = bool(active)
+    try:
+        yield
+    finally:
+        _TRAINING_TRACE = prev
 
 
 def fused_fsp_active() -> bool:
@@ -47,6 +68,8 @@ def fused_fsp_active() -> bool:
     if v in (True, "1"):
         return True
     if v in (False, "0"):
+        return False
+    if _TRAINING_TRACE:
         return False
     from n2nmn_tpu.ops.pallas.kernels import _interpret_mode
     return not _interpret_mode()

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from n2nmn_tpu.models.modules import common as modules_common
 from n2nmn_tpu.ops.nn import l2_of_weights
 
 
@@ -85,10 +86,11 @@ def cloning_step_body(model, tx, weight_decay: float,
     image [N,...], gt_layout [Td,N], label [N], weight [N]."""
 
     def loss_fn(params, batch, rng):
-        out = model.apply(
-            params, batch["text_seq"], batch["seq_length"], batch["image"],
-            rng, gt_layout=batch["gt_layout"], use_gt_layout=True,
-            deterministic=not dropout_training)
+        with modules_common.training_trace():
+            out = model.apply(
+                params, batch["text_seq"], batch["seq_length"],
+                batch["image"], rng, gt_layout=batch["gt_layout"],
+                use_gt_layout=True, deterministic=not dropout_training)
         w = batch["weight"]
         xent = _xent(out.scores, batch["label"])
         avg_sample_loss = _wmean(xent, w)
@@ -135,11 +137,13 @@ def rl_step_body(model, tx, weight_decay: float, lambda_entropy: float,
     """Un-jitted REINFORCE step body (scratch or rl-finetune)."""
 
     def loss_fn(params, batch, rng, baseline):
-        out = model.apply(
-            params, batch["text_seq"], batch["seq_length"], batch["image"],
-            rng,
-            gt_layout=batch.get("gt_layout"), use_gt_layout=use_gt_layout,
-            deterministic=not dropout_training)
+        with modules_common.training_trace():
+            out = model.apply(
+                params, batch["text_seq"], batch["seq_length"],
+                batch["image"], rng,
+                gt_layout=batch.get("gt_layout"),
+                use_gt_layout=use_gt_layout,
+                deterministic=not dropout_training)
         w = batch["weight"]
         xent = _xent(out.scores, batch["label"])
         final_loss = jnp.where(out.validity, xent, invalid_expr_loss)
