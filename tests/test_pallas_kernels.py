@@ -131,6 +131,29 @@ def test_fused_fsp_vqa_transform_matches_xla(monkeypatch):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_fused_fsp_training_trace_gate(monkeypatch):
+    """"auto" resolves on for inference traces on TPU, off inside
+    training_trace() (measured 50% training slowdown from the custom-VJP
+    fusion boundary); explicit "1" overrides the training gate."""
+    from n2nmn_tpu.models.modules import common
+    from n2nmn_tpu.ops.pallas import kernels
+
+    monkeypatch.setattr(common, "USE_FUSED_FSP", "auto")
+    monkeypatch.setattr(kernels, "_interpret_mode", lambda: False)
+    assert common.fused_fsp_active()
+    with common.training_trace():
+        assert not common.fused_fsp_active()
+        monkeypatch.setattr(common, "USE_FUSED_FSP", "1")
+        assert common.fused_fsp_active()
+        monkeypatch.setattr(common, "USE_FUSED_FSP", "auto")
+        with common.training_trace(False):   # nested eval re-enable
+            assert common.fused_fsp_active()
+        assert not common.fused_fsp_active()
+    assert common.fused_fsp_active()
+    monkeypatch.setattr(kernels, "_interpret_mode", lambda: True)
+    assert not common.fused_fsp_active()     # CPU: interpret mode loses
+
+
 def test_fused_readout_grads():
     key = jax.random.PRNGKey(3)
     k1, k2 = jax.random.split(key)
