@@ -181,6 +181,12 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
     v = dec_p["att_v"]
     w_y, b_y = dec_p["token_pred"]["w"], dec_p["token_pred"]["b"]
     dec_embed = dec_p["embedding"]["table"]
+    # attention query and the token head's h_out half ride ONE matmul:
+    # [q | s_h] = h_out @ [w_a | w_y[:D]] (the d2 half of the token head
+    # joins after attention). Exact for q; reassociates the token-score
+    # contraction 2D -> D+D.
+    w_hq = jnp.concatenate([w_a, w_y[:D]], axis=1)      # [D, D+V]
+    w_y_d2 = w_y[D:]                                    # [D, V]
 
     go = jnp.tile(dec_p["go"], (N, 1))
     c0 = jnp.tile(enc_c[:, :, :], (1, 1, 1))
@@ -204,7 +210,8 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
             dropout_key=drop_key, deterministic=dec_deterministic)
 
         # Bahdanau attention over encoder outputs
-        q = jnp.dot(h_out, w_a, preferred_element_type=h_out.dtype) + b_a
+        hq = jnp.dot(h_out, w_hq, preferred_element_type=h_out.dtype)
+        q = hq[:, :D] + b_a
         if use_fused_att:
             att_nt, d2 = bahdanau_attention(q, enc_trans_nt, enc_out_nt,
                                             v, mask_nt)
@@ -216,8 +223,10 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
             att = att / jnp.sum(att, axis=0, keepdims=True)
             d2 = jnp.einsum("tn,tnd->nd", att, enc_out)
 
-        token_scores = (jnp.dot(jnp.concatenate([h_out, d2], axis=1), w_y,
-                                preferred_element_type=h_out.dtype) + b_y)
+        token_scores = (hq[:, D:]
+                        + jnp.dot(d2, w_y_d2,
+                                  preferred_element_type=h_out.dtype)
+                        + b_y)
 
         if grammar_mode:
             # token validity: rank-1 gather of the packed word, then
