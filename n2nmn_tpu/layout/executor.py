@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from n2nmn_tpu.layout.grammar import ModuleGrammar
-from n2nmn_tpu.ops.nn import SCAN_UNROLL
+from n2nmn_tpu.ops.nn import SCAN_UNROLL, maybe_remat
 
 
 @dataclasses.dataclass(frozen=True)
@@ -223,7 +223,7 @@ def execute_layout(tokens: jnp.ndarray,
     xs = (pre_step, top_idx_all, sub_idx_all, push_pos_all, use_sub_all,
           is_att_all, is_ans_all, att_oh_all, ans_oh_all, jnp.arange(T))
     (stack, ans_scores), step_atts = jax.lax.scan(
-        step, (stack0, scores0), xs, unroll=SCAN_UNROLL)
+        maybe_remat(step), (stack0, scores0), xs, unroll=SCAN_UNROLL)
 
     # invalid expressions get the dummy all-zero score vector
     # (reference nmn3_model.py:146-155)

@@ -309,9 +309,9 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
         return (((c, h), state, new_eos, next_inp, key), out)
 
     carry0 = ((c0, h0), state0, eos0, go, rng)
-    from n2nmn_tpu.ops.nn import SCAN_UNROLL
+    from n2nmn_tpu.ops.nn import SCAN_UNROLL, maybe_remat
     _, (tokens, token_probs, token_logprobs, neg_ents, atts) = jax.lax.scan(
-        step, carry0, gt_layout, unroll=SCAN_UNROLL)
+        maybe_remat(step), carry0, gt_layout, unroll=SCAN_UNROLL)
 
     # word_vecs[t] = sum_te att[t, te] * embedded_question[te]
     word_vecs = jnp.einsum("ktn,tne->kne", atts, embedded_seq)

@@ -135,8 +135,8 @@ def encode_sequence(params, embedded_seq, seq_length, dropout_key=None,
         out = jnp.where(active[0], out, 0.0)
         return (nc, nh), out
 
-    from n2nmn_tpu.ops.nn import SCAN_UNROLL
-    (cf, hf), outputs = jax.lax.scan(step, (c0, h0),
+    from n2nmn_tpu.ops.nn import SCAN_UNROLL, maybe_remat
+    (cf, hf), outputs = jax.lax.scan(maybe_remat(step), (c0, h0),
                                      (x_proj, t_idx, step_keys),
                                      unroll=SCAN_UNROLL)
     return outputs, (cf, hf)

@@ -26,6 +26,24 @@ from jax import lax
 # 20-step scan); unrolling amortizes it without changing semantics.
 SCAN_UNROLL = int(os.environ.get("N2NMN_SCAN_UNROLL", "1"))
 
+# Rematerialize the sequential scan bodies (executor stack machine,
+# decoder, encoder LSTM) under reverse-mode AD: jax.checkpoint makes the
+# backward pass recompute each step's branch math from the carried state
+# instead of storing every intermediate to HBM during the forward sweep.
+# Trades one extra forward's FLOPs for the residual write+read traffic —
+# measured v5e flagship train step (tools/profile_train.py,
+# perf/profile_train_r3{_noremat,}.json): cloning 112->177 steps/s at
+# N=64, 47->59 at N=256; RL 114->173 / 47->59. No effect on
+# un-differentiated (eval/serving) traces. Default ON;
+# N2NMN_SCAN_REMAT=0 restores store-everything backward.
+SCAN_REMAT = os.environ.get("N2NMN_SCAN_REMAT", "1") == "1"
+
+
+def maybe_remat(fn):
+    """jax.checkpoint(fn) when N2NMN_SCAN_REMAT is on (scan bodies)."""
+    import jax
+    return jax.checkpoint(fn) if SCAN_REMAT else fn
+
 
 def xavier_uniform(key, shape, dtype=jnp.float32):
     """Xavier/Glorot uniform for dense weights [fan_in, fan_out]."""

@@ -223,3 +223,31 @@ def test_full_state_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     found = latest_snapshot(str(tmp_path))
     assert found is not None and found[1] == 20
+
+
+def test_scan_remat_preserves_gradients(monkeypatch):
+    """N2NMN_SCAN_REMAT changes residual storage, not math: gradients of
+    the cloning loss must match with rematerialization on and off."""
+    from n2nmn_tpu.ops import nn as ops_nn
+    from n2nmn_tpu.train.steps import _xent, _wmean
+
+    model, grammar = tiny_model(sampling=False)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch(grammar=grammar).items()}
+    params = model.init(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(7)
+
+    def loss_fn(p):
+        out = model.apply(p, batch["text_seq"], batch["seq_length"],
+                          batch["image"], rng, gt_layout=batch["gt_layout"],
+                          use_gt_layout=True, deterministic=True)
+        return (_wmean(-out.log_seq_prob, batch["weight"])
+                + _wmean(_xent(out.scores, batch["label"]), batch["weight"]))
+
+    grads = {}
+    for remat in (False, True):
+        monkeypatch.setattr(ops_nn, "SCAN_REMAT", remat)
+        grads[remat] = jax.grad(loss_fn)(params)
+    for a, b in zip(jax.tree_util.tree_leaves(grads[False]),
+                    jax.tree_util.tree_leaves(grads[True])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
