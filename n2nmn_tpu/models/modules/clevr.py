@@ -96,6 +96,16 @@ def precompute(params, image_feat, word_vecs):
             image_feat).reshape(n, h * w, -1),
         "h": h, "w": w,
     }
+    if common.grid_int8_active():
+        # one-time int8 quantization of the two grids the executor scan
+        # re-streams every step (see common.GRID_INT8); the bf16
+        # versions below become dead under jit and are DCE'd
+        from n2nmn_tpu.ops.pallas.kernels import quantize_grid
+        (pre_static["image_feat_q"],
+         pre_static["image_feat_scale"]) = quantize_grid(
+            pre_static["image_feat"])
+        (pre_static["img_fsp_q"],
+         pre_static["img_fsp_scale"]) = quantize_grid(pre_static["img_fsp"])
     pre_step = {
         "txt_fsp": txt(params["find_same_property"]["fc_text"]),
         "txt_sp": txt(params["same_property"]["fc_text"]),
@@ -126,8 +136,14 @@ def make_step_shared(params):
     HBM once per step instead of once per distinct readout."""
 
     def step_shared(pre, pre_t, in0, in1, t):
-        sm = jax.nn.softmax(jnp.stack([in0, in1], axis=1), axis=2)
-        ro = jnp.einsum("nkp,npd->nkd", sm, pre["image_feat"])
+        if "image_feat_q" in pre:   # int8 grid streaming (common.GRID_INT8)
+            from n2nmn_tpu.ops.pallas.kernels import fused_readout_q
+            ro = fused_readout_q(jnp.stack([in0, in1], axis=1),
+                                 pre["image_feat_q"],
+                                 pre["image_feat_scale"], in0.dtype)
+        else:
+            sm = jax.nn.softmax(jnp.stack([in0, in1], axis=1), axis=2)
+            ro = jnp.einsum("nkp,npd->nkd", sm, pre["image_feat"])
         return {"readout0": ro[:, 0], "readout1": ro[:, 1]}
 
     return step_shared
@@ -159,6 +175,16 @@ def make_branches(params):
         p = params["find_same_property"]
         att_feat = _readout(pre, pre_t, in0, "readout0")
         att_mapped = _fc(p["fc_att"], att_feat)            # [N, map]
+        if "img_fsp_q" in pre:      # int8 grid streaming
+            # per-channel dequant scale folds exactly into the
+            # elementwise text modulation: q*s ⊙ txt == q ⊙ (s*txt)
+            from n2nmn_tpu.ops.pallas.kernels import fused_find_q
+            txt_eff = (pre_t["txt_fsp"].astype(jnp.float32)
+                       * att_mapped.astype(jnp.float32)
+                       * pre["img_fsp_scale"])
+            return fused_find_q(pre["img_fsp_q"], txt_eff,
+                                p["conv_eltwise"]["w"][:, 0],
+                                p["conv_eltwise"]["b"][0], in0.dtype)
         if common.fused_fsp_active():
             from n2nmn_tpu.ops.pallas.kernels import fused_find
             return fused_find(pre["img_fsp"],

@@ -74,6 +74,36 @@ def fused_fsp_active() -> bool:
     from n2nmn_tpu.ops.pallas.kernels import _interpret_mode
     return not _interpret_mode()
 
+
+# int8 grid streaming: quantize the static per-execution grids
+# (image_feat for the shared readouts, img_fsp / VQA img_tfm for the
+# find-pattern modules) to int8 with per-sample per-channel scales at
+# precompute time, and stream the int8 bytes through the Pallas kernels
+# each executor step (ops/pallas/kernels.py int8 variants). Halves the
+# HBM traffic of the two ops trace-attributed as the largest executor
+# costs (perf/trace_ops_r3_head.json: 21% + 12% of device time at
+# N=1024, both already at ~1.1x their bf16 streaming floors).
+# Quantization error is ~0.4% of each channel's per-sample max — the
+# same order as bf16's 8-bit-mantissa rounding; equivalence on trained
+# snapshots is checked like bf16's (tools/bf16_check.py --int8).
+# Serving-only: "auto" resolves off under training traces and on CPU.
+# Default stays "0" until the on-chip measurement lands (flip to "auto"
+# with the perf artifact, like N2NMN_FUSED_FSP's history).
+GRID_INT8 = os.environ.get("N2NMN_GRID_INT8", "0")
+
+
+def grid_int8_active() -> bool:
+    """Resolve GRID_INT8 at trace time (batch-independent)."""
+    v = GRID_INT8
+    if v in (True, "1"):
+        return True
+    if v in (False, "0"):
+        return False
+    if _TRAINING_TRACE:
+        return False
+    from n2nmn_tpu.ops.pallas.kernels import _interpret_mode
+    return not _interpret_mode()
+
 # _Transform implementation: "conv" materializes the [N, HW, map_dim]
 # conv-on-attention intermediate in the executor scan each step; "dot"
 # reassociates the l2norm+project so only k^2-dim patch tensors flow

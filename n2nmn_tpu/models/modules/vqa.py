@@ -107,6 +107,16 @@ def precompute(params, image_feat, word_vecs, encoder_states=None):
                                   image_feat).reshape(n, h * w, -1),
         "h": h, "w": w,
     }
+    if common.grid_int8_active():
+        # one-time int8 quantization of the two grids the executor scan
+        # re-streams every step (see common.GRID_INT8); the bf16
+        # versions become dead under jit and are DCE'd
+        from n2nmn_tpu.ops.pallas.kernels import quantize_grid
+        (pre_static["image_feat_q"],
+         pre_static["image_feat_scale"]) = quantize_grid(
+            pre_static["image_feat"])
+        (pre_static["img_tfm_q"],
+         pre_static["img_tfm_scale"]) = quantize_grid(pre_static["img_tfm"])
     if encoder_states is not None and "fc_encoder_states" in \
             params["describe"]:
         p = params["describe"]["fc_encoder_states"]
@@ -129,6 +139,11 @@ def make_step_shared(params):
     executor step (see executor.execute_layout)."""
 
     def step_shared(pre, pre_t, in0, in1, t):
+        if "image_feat_q" in pre:   # int8 grid streaming (common.GRID_INT8)
+            from n2nmn_tpu.ops.pallas.kernels import fused_readout_q
+            ro = fused_readout_q(in0[:, None, :], pre["image_feat_q"],
+                                 pre["image_feat_scale"], in0.dtype)
+            return {"readout0": ro[:, 0]}
         return {"readout0": common.att_softmax_readout(
             in0, pre["image_feat"])}
 
@@ -151,6 +166,16 @@ def make_branches(params):
     def transform(pre, pre_t, in0, in1, t):
         p = params["transform"]
         att_mapped = _fc(p["fc_att"], _readout0(pre, pre_t, in0))
+        if "img_tfm_q" in pre:      # int8 grid streaming
+            # per-channel dequant scale folds exactly into the
+            # elementwise text modulation: q*s ⊙ txt == q ⊙ (s*txt)
+            from n2nmn_tpu.ops.pallas.kernels import fused_find_q
+            txt_eff = (pre_t["txt_tfm"].astype(jnp.float32)
+                       * att_mapped.astype(jnp.float32)
+                       * pre["img_tfm_scale"])
+            return fused_find_q(pre["img_tfm_q"], txt_eff,
+                                p["conv_eltwise"]["w"][:, 0],
+                                p["conv_eltwise"]["b"][0], in0.dtype)
         if common.fused_fsp_active():
             # same double-read XLA lowering as CLEVR's _FindSameProperty
             # (the math is identical, reference nmn3_modules.py:123-171):

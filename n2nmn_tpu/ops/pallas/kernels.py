@@ -183,6 +183,125 @@ def _readout_bwd(res, g):
 fused_readout.defvjp(_readout_fwd, _readout_bwd)
 
 
+# ---------------------------------------------------------------------------
+# int8-grid variants: the executor's two dominant ops stream a STATIC
+# [N, HW, D] grid from HBM every step (shared readout: image_feat;
+# _FindSameProperty: img_fsp — perf/trace_ops_r3_head.json puts them at
+# 21% + 12% of device time at N=1024, both already at ~1.1x their bf16
+# streaming floors). The only way past a streaming floor is fewer bytes:
+# quantize the grid once per execution to int8 with per-sample
+# per-channel scales (error ~0.4% of per-channel max — the same order as
+# bf16's 8-bit-mantissa rounding), read int8 from HBM, and dequantize in
+# VMEM. Halves the HBM traffic of both ops.
+# ---------------------------------------------------------------------------
+
+
+def quantize_grid(x, eps=1e-12):
+    """Per-sample per-channel symmetric int8 quantization of a static
+    grid. x: [N, HW, D] -> (q int8 [N, HW, D], scale f32 [N, D]) with
+    x ~= q * scale[:, None, :]."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1)      # [N, D]
+    scale = jnp.maximum(amax, eps) / 127.0
+    q = jnp.round(x.astype(jnp.float32) / scale[:, None, :])
+    return jnp.clip(q, -127, 127).astype(jnp.int8), scale
+
+
+def _readout_q_fwd_kernel(att_ref, img_ref, scale_ref, out_ref):
+    # att [BN, K, HW] raw maps; img [BN, HW, D] int8; scale [BN, D].
+    # softmax in f32 (see _readout_fwd_kernel); the int8 grid converts to
+    # f32 in VMEM — HBM only ever sees the int8 bytes.
+    a = att_ref[:].astype(jnp.float32)                    # [BN, K, HW]
+    m = jnp.max(a, axis=2, keepdims=True)
+    ex = jnp.exp(a - m)
+    s = ex / jnp.sum(ex, axis=2, keepdims=True)           # [BN, K, HW]
+    qf = img_ref[:].astype(jnp.float32)                   # [BN, HW, D]
+    k = a.shape[1]
+    # K is 1 or 2 (static): rank-3 mul+reduce per readout instead of a
+    # rank-4 intermediate (Mosaic-friendlier; qf stays VMEM-resident)
+    ys = [jnp.sum(s[:, i, :, None] * qf, axis=1) for i in range(k)]
+    y = jnp.stack(ys, axis=1) if k > 1 else ys[0][:, None, :]
+    y = y * scale_ref[:][:, None, :].astype(jnp.float32)  # dequantize
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def fused_readout_q(att, img_q, scale, out_dtype):
+    """Softmax-readout(s) against an int8-quantized grid.
+
+    att: [N, K, HW] raw attention logits (K static, 1 or 2);
+    img_q: [N, HW, D] int8; scale: [N, D] f32 -> [N, K, D] out_dtype.
+    out[n,k,:] = softmax(att[n,k])ᵀ (img_q[n] * scale[n]) — the readout
+    the reference computes per module (nmn3_modules.py:170-174), at half
+    the HBM traffic. Inference-only (no VJP): the executor's int8 gate is
+    off under training traces."""
+    n, k, hw = att.shape
+    d = img_q.shape[2]
+    att_p, img_p = _pad_batch(att, n), _pad_batch(img_q, n)
+    scale_p = _pad_batch(scale, n)
+    np_ = att_p.shape[0]
+    out = pl.pallas_call(
+        _readout_q_fwd_kernel,
+        grid=(np_ // _BN,),
+        in_specs=[
+            pl.BlockSpec((_BN, k, hw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BN, hw, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BN, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BN, k, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, k, d), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=_interpret_mode(),
+    )(att_p, img_p, scale_p)
+    return out[:n]
+
+
+def _find_q_fwd_kernel(img_ref, txt_ref, w_ref, b_ref, out_ref):
+    # identical math to _find_fwd_kernel with the img block arriving as
+    # int8; the per-channel dequant scale is folded into txt by the
+    # caller (img*scale ⊙ txt == img ⊙ (scale*txt)), so conversion is
+    # the only extra in-VMEM work
+    x = img_ref[:].astype(jnp.float32)   # [BN, HW, D] int8 -> f32
+    t = txt_ref[:].astype(jnp.float32)   # [BN, 1, D]
+    e = x * t
+    sq = jnp.sum(e * e, axis=2)
+    w = w_ref[:][None].astype(jnp.float32)
+    num = jnp.sum(e * w, axis=2)
+    y = num * jax.lax.rsqrt(jnp.maximum(sq, _EPS)) + b_ref[0, 0]
+    out_ref[:] = y.astype(out_ref.dtype)
+
+
+def fused_find_q(img_q, txt_eff, w, b, out_dtype):
+    """fused_find over an int8 grid: img_q [N, HW, D] int8,
+    txt_eff [N, D] = txt * per-channel scale (scale folds into the
+    elementwise modulation exactly). Inference-only (no VJP)."""
+    n, hw, d = img_q.shape
+    img_p, txt_p = _pad_batch(img_q, n), _pad_batch(txt_eff, n)
+    np_ = img_p.shape[0]
+    out = pl.pallas_call(
+        _find_q_fwd_kernel,
+        grid=(np_ // _BN,),
+        in_specs=[
+            pl.BlockSpec((_BN, hw, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BN, 1, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((_BN, hw), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, hw), out_dtype),
+        interpret=_interpret_mode(),
+    )(img_p, txt_p[:, None, :], w.reshape(1, d), b.reshape(1, 1))
+    return out[:n]
+
+
 @functools.lru_cache(maxsize=1)
 def _interpret_mode() -> bool:
     """Interpret kernels when not on a TPU backend (CPU tests). The axon

@@ -154,6 +154,117 @@ def test_fused_fsp_training_trace_gate(monkeypatch):
     assert not common.fused_fsp_active()     # CPU: interpret mode loses
 
 
+def test_quantize_grid_roundtrip():
+    """q * scale reconstructs x within half an int8 step of each
+    per-sample per-channel absmax."""
+    from n2nmn_tpu.ops.pallas.kernels import quantize_grid
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 20, 16)) * 5.0
+    q, scale = quantize_grid(x)
+    assert q.dtype == jnp.int8 and scale.shape == (3, 16)
+    recon = q.astype(jnp.float32) * scale[:, None, :]
+    amax = np.max(np.abs(np.asarray(x)), axis=1)          # [N, D]
+    bound = np.broadcast_to((amax / 127.0)[:, None, :] * 0.5 + 1e-6,
+                            x.shape)
+    np.testing.assert_array_less(np.abs(np.asarray(recon) - np.asarray(x)),
+                                 bound)
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_fused_readout_q_forward(k):
+    """int8 readout == XLA softmax-readout over the dequantized grid."""
+    from n2nmn_tpu.ops.pallas.kernels import quantize_grid, fused_readout_q
+
+    key = jax.random.PRNGKey(4)
+    k1, k2 = jax.random.split(key)
+    att = jax.random.normal(k1, (3, k, 20))
+    img = jax.random.normal(k2, (3, 20, 16)) * 3.0
+    q, scale = quantize_grid(img)
+    out = fused_readout_q(att, q, scale, jnp.float32)
+    deq = q.astype(jnp.float32) * scale[:, None, :]
+    ref = jnp.stack([ref_readout(att[:, i], deq) for i in range(k)], axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_find_q_forward():
+    """int8 find == fused_find over the dequantized grid, with the scale
+    folded into the text modulation (q*s ⊙ txt == q ⊙ (s*txt))."""
+    from n2nmn_tpu.ops.pallas.kernels import quantize_grid, fused_find_q
+
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3 = jax.random.split(key, 3)
+    img = jax.random.normal(k1, (3, 20, 16)) * 2.0
+    txt = jax.random.normal(k2, (3, 16))
+    w = jax.random.normal(k3, (16,))
+    b = jnp.float32(0.25)
+    q, scale = quantize_grid(img)
+    out = fused_find_q(q, txt * scale, w, b, jnp.float32)
+    deq = q.astype(jnp.float32) * scale[:, None, :]
+    ref = ref_find(deq, txt, w, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("flavor", ["clevr", "vqa"])
+def test_grid_int8_branches_match_xla(flavor, monkeypatch):
+    """GRID_INT8 end-to-end through the module branches: the int8 readout
+    and find paths must match the f32 XLA paths within quantization error
+    (grids scaled so per-channel error stays ~0.4% of absmax)."""
+    from n2nmn_tpu.models.modules import clevr, vqa, common
+
+    image_feat = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 4, 6))
+    word_vecs = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 5))
+    in0 = jax.random.normal(jax.random.PRNGKey(3), (4, 12))
+    in1 = jax.random.normal(jax.random.PRNGKey(6), (4, 12))
+    if flavor == "clevr":
+        mod = clevr
+        params = clevr.init_params(jax.random.PRNGKey(0), 6, 5, 3, hw=12)
+        idx = clevr.ATT_MODULES.index("_FindSameProperty")
+        txt_key = "txt_fsp"
+    else:
+        mod = vqa
+        params = vqa.init_params(jax.random.PRNGKey(0), 6, 5, 3, map_dim=8)
+        idx = vqa.ATT_MODULES.index("_Transform")
+        txt_key = "txt_tfm"
+
+    def run(pre_extra=()):
+        pre, pre_step = mod.precompute(params, image_feat, word_vecs)
+        pre_t = {txt_key: pre_step[txt_key][0]}
+        pre_t.update(mod.make_step_shared(params)(pre, pre_t, in0, in1, 0))
+        att_b, _ = mod.make_branches(params)
+        return pre_t["readout0"], att_b[idx](pre, pre_t, in0, in1, 0)
+
+    ro_ref, out_ref = run()
+    monkeypatch.setattr(common, "GRID_INT8", "1")
+    ro_q, out_q = run()
+    np.testing.assert_allclose(np.asarray(ro_q), np.asarray(ro_ref),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_grid_int8_gate(monkeypatch):
+    """"auto" = on for inference traces on real TPU, off under
+    training_trace() and on CPU; explicit "1"/"0" override."""
+    from n2nmn_tpu.models.modules import common
+    from n2nmn_tpu.ops.pallas import kernels
+
+    monkeypatch.setattr(common, "GRID_INT8", "auto")
+    monkeypatch.setattr(kernels, "_interpret_mode", lambda: False)
+    assert common.grid_int8_active()
+    with common.training_trace():
+        assert not common.grid_int8_active()
+        monkeypatch.setattr(common, "GRID_INT8", "1")
+        assert common.grid_int8_active()
+    monkeypatch.setattr(common, "GRID_INT8", "auto")
+    monkeypatch.setattr(kernels, "_interpret_mode", lambda: True)
+    assert not common.grid_int8_active()
+    monkeypatch.setattr(common, "GRID_INT8", "0")
+    monkeypatch.setattr(kernels, "_interpret_mode", lambda: False)
+    assert not common.grid_int8_active()
+
+
 def test_fused_readout_grads():
     key = jax.random.PRNGKey(3)
     k1, k2 = jax.random.split(key)
