@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import jax
@@ -211,8 +212,20 @@ def main():
     dtype_bytes = 4 if args.f32 else 2
 
     fused, decode_only, execute_only = phase_programs(model)
+    from n2nmn_tpu.models.modules import common as _common
+    from n2nmn_tpu.ops import nn as _nn
     report = {"dtype": "float32" if args.f32 else "bfloat16",
-              "device": str(jax.devices()[0]), "sweep": []}
+              "device": str(jax.devices()[0]),
+              # resolved perf switches, so artifacts self-describe
+              "mode": {
+                  "grid_int8": _common.grid_int8_active(),
+                  "fused_fsp": _common.fused_fsp_active(),
+                  "transform": _common.TRANSFORM_IMPL,
+                  "fused_attention":
+                      os.environ.get("N2NMN_FUSED_ATTENTION", "0"),
+                  "scan_unroll": _nn.SCAN_UNROLL,
+              },
+              "sweep": []}
 
     for n in args.batch_sizes:
         params, text_seq, seq_length, image_feat, rng = make_inputs(
