@@ -104,6 +104,36 @@ def grid_int8_active() -> bool:
     from n2nmn_tpu.ops.pallas.kernels import _interpret_mode
     return not _interpret_mode()
 
+
+# int8 encoder-tensor streaming for the decoder scan: the two
+# loop-invariant [T_enc, N, D] tensors (enc_trans under the tanh
+# alignment, enc_out under the context sum) are re-read from HBM every
+# decode step — together they are the decode phase's entire HBM roofline
+# (tools/profile_eval.py roofline(); measured 3.7 ms vs 2.3 ms floor at
+# N=1024, perf/decode_breakdown_r3c.json). Quantizing both to int8 with
+# per-sample per-channel scales at encode time halves that traffic; the
+# context sum's dequant scale factors OUT of the reduction
+# (sum_t att*q*s == s * sum_t att*q), so only the tanh operand pays an
+# in-register dequant. Pure XLA (no Pallas) — the converts fuse into the
+# existing per-step loops. Same serving-only semantics as GRID_INT8:
+# "auto" resolves off under training traces (the RL decoder is
+# differentiated) and off on CPU; default "0" until the on-chip
+# measurement lands.
+ENC_INT8 = os.environ.get("N2NMN_ENC_INT8", "0")
+
+
+def enc_int8_active() -> bool:
+    """Resolve ENC_INT8 at trace time (batch-independent)."""
+    v = ENC_INT8
+    if v in (True, "1"):
+        return True
+    if v in (False, "0"):
+        return False
+    if _TRAINING_TRACE:
+        return False
+    from n2nmn_tpu.ops.pallas.kernels import _interpret_mode
+    return not _interpret_mode()
+
 # _Transform implementation: "conv" materializes the [N, HW, map_dim]
 # conv-on-attention intermediate in the executor scan each step; "dot"
 # reassociates the l2norm+project so only k^2-dim patch tensors flow

@@ -165,6 +165,19 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
         enc_out_nt = pad_time(enc_out.transpose(1, 0, 2), 1)
         mask_nt = pad_time(seq_not_finished.T, 1)        # [N, Tp]
 
+    # int8 encoder-tensor streaming (serving only, see common.ENC_INT8):
+    # quantize the two loop-invariant [T_enc, N, D] tensors once here;
+    # every decode step then reads half the HBM bytes. Pure XLA — the
+    # int8->dtype converts fuse into the step's existing loops.
+    from n2nmn_tpu.models.modules.common import enc_int8_active
+    use_enc_int8 = enc_int8_active() and not use_fused_att
+    if use_enc_int8:
+        from n2nmn_tpu.ops.pallas.kernels import quantize_grid
+        enc_trans_q, s_trans = quantize_grid(enc_trans, axis=0)
+        enc_out_q, s_out = quantize_grid(enc_out, axis=0)
+        s_trans = s_trans.astype(enc_trans.dtype)        # [N, D]
+        s_out = s_out.astype(enc_out.dtype)              # [N, D]
+
     # ---------------- decoder ----------------
     # Tabulated grammar DFA (grammar.py:tabulate): validity is a rank-1
     # gather of one bit-packed int32 per state + a broadcasted
@@ -216,6 +229,19 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
             att_nt, d2 = bahdanau_attention(q, enc_trans_nt, enc_out_nt,
                                             v, mask_nt)
             att = att_nt[:, :T_enc].T                       # [T_enc, N]
+        elif use_enc_int8:
+            # dequant fuses into the tanh loop (one int8 HBM read);
+            # broadcast-mul-sum keeps the context contraction a single
+            # fusion over the int8 enc_out read (a dot_general would
+            # materialize a converted copy), and its dequant scale
+            # factors out of the t-reduction entirely
+            enc_t = enc_trans_q.astype(h_out.dtype) * s_trans[None]
+            att_raw = jnp.einsum("tnd,d->tn",
+                                 jnp.tanh(q[None] + enc_t), v)
+            att = jax.nn.softmax(att_raw, axis=0) * seq_not_finished
+            att = att / jnp.sum(att, axis=0, keepdims=True)
+            d2 = jnp.sum(att[:, :, None]
+                         * enc_out_q.astype(h_out.dtype), axis=0) * s_out
         else:
             att_raw = jnp.einsum("tnd,d->tn",
                                  jnp.tanh(q[None] + enc_trans), v)

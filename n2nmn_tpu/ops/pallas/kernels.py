@@ -196,13 +196,15 @@ fused_readout.defvjp(_readout_fwd, _readout_bwd)
 # ---------------------------------------------------------------------------
 
 
-def quantize_grid(x, eps=1e-12):
+def quantize_grid(x, eps=1e-12, axis=1):
     """Per-sample per-channel symmetric int8 quantization of a static
-    grid. x: [N, HW, D] -> (q int8 [N, HW, D], scale f32 [N, D]) with
-    x ~= q * scale[:, None, :]."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1)      # [N, D]
+    grid, reducing over `axis` (the spatial/time dim). Executor grids:
+    x [N, HW, D], axis=1 -> (q int8, scale f32 [N, D]) with
+    x ~= q * scale[:, None, :]. Decoder encoder-tensors: x [T, N, D],
+    axis=0 -> scale [N, D] with x ~= q * scale[None]."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis)   # [N, D]
     scale = jnp.maximum(amax, eps) / 127.0
-    q = jnp.round(x.astype(jnp.float32) / scale[:, None, :])
+    q = jnp.round(x.astype(jnp.float32) / jnp.expand_dims(scale, axis))
     return jnp.clip(q, -127, 127).astype(jnp.int8), scale
 
 

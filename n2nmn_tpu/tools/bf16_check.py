@@ -30,7 +30,7 @@ import numpy as np
 
 
 def run(data_root, exp_name, snapshot_name, test_split, T_decoder=20,
-        int8=False):
+        int8=False, enc_int8=False):
     from n2nmn_tpu.experiments import clevr
     from n2nmn_tpu.models.modules import common
     from n2nmn_tpu.train.checkpoint import load_params
@@ -55,14 +55,17 @@ def run(data_root, exp_name, snapshot_name, test_split, T_decoder=20,
     eval_step_var = make_eval_step(model)
 
     def eval_variant(params_v, batch, rng):
-        if not int8:
+        if not (int8 or enc_int8):
             return eval_step_var(params_v, batch, rng)
-        prev = common.GRID_INT8
-        common.GRID_INT8 = "1"
+        prev_g, prev_e = common.GRID_INT8, common.ENC_INT8
+        if int8:
+            common.GRID_INT8 = "1"
+        if enc_int8:
+            common.ENC_INT8 = "1"
         try:
             return eval_step_var(params_v, batch, rng)
         finally:
-            common.GRID_INT8 = prev
+            common.GRID_INT8, common.ENC_INT8 = prev_g, prev_e
 
     rng = jax.random.PRNGKey(0)
 
@@ -107,6 +110,7 @@ def run(data_root, exp_name, snapshot_name, test_split, T_decoder=20,
         "identical": (tok_mismatch == 0 and pred_mismatch == 0
                       and val_mismatch == 0),
         "grid_int8": bool(int8),
+        "enc_int8": bool(enc_int8),
         "platform": jax.devices()[0].platform,
     }
 
@@ -119,10 +123,12 @@ if __name__ == "__main__":
     p.add_argument("--test_split", default="tst")
     p.add_argument("--int8", action="store_true",
                    help="also enable int8 grid streaming in the variant")
+    p.add_argument("--enc_int8", action="store_true",
+                   help="also enable int8 decoder enc-tensor streaming")
     p.add_argument("--out", default=None)
     args = p.parse_args()
     res = run(args.data_root, args.exp_name, args.snapshot_name,
-              args.test_split, int8=args.int8)
+              args.test_split, int8=args.int8, enc_int8=args.enc_int8)
     print(json.dumps(res, indent=2))
     if args.out:
         os.makedirs(os.path.dirname(args.out), exist_ok=True)

@@ -219,6 +219,7 @@ def main():
               # resolved perf switches, so artifacts self-describe
               "mode": {
                   "grid_int8": _common.grid_int8_active(),
+                  "enc_int8": _common.enc_int8_active(),
                   "fused_fsp": _common.fused_fsp_active(),
                   "transform": _common.TRANSFORM_IMPL,
                   "fused_attention":

@@ -244,6 +244,74 @@ def test_grid_int8_branches_match_xla(flavor, monkeypatch):
                                rtol=2e-2, atol=2e-2)
 
 
+def test_quantize_grid_axis0_bound():
+    """axis=0 quantization (decoder enc-tensors, [T, N, D]) keeps every
+    element within amax/254 of the original (symmetric int8 step/2)."""
+    from n2nmn_tpu.ops.pallas.kernels import quantize_grid
+
+    x = jax.random.normal(jax.random.PRNGKey(7), (9, 4, 16)) * 3.0
+    q, scale = quantize_grid(x, axis=0)
+    assert q.shape == x.shape and scale.shape == (4, 16)
+    deq = q.astype(jnp.float32) * scale[None]
+    amax = jnp.max(jnp.abs(x), axis=0)
+    err = jnp.max(jnp.abs(deq - x), axis=0)
+    assert np.all(np.asarray(err) <= np.asarray(amax) / 254.0 + 1e-7)
+
+
+def test_enc_int8_decode_matches_f32(monkeypatch):
+    """ENC_INT8 serving mode: greedy decode over int8-quantized encoder
+    tensors matches the f32 path's tokens/attention within quantization
+    error (trained-snapshot equivalence runs on-chip via
+    tools/bf16_check.py --enc_int8)."""
+    from n2nmn_tpu.layout.grammar import ModuleGrammar
+    from n2nmn_tpu.models.modules import common
+    from n2nmn_tpu.models.netgen import (NetgenConfig, init_netgen,
+                                         make_grammar_arrays, run_netgen)
+
+    vocab = ["_Scene", "_Find", "_Transform", "_And", "_Exist", "_Count",
+             "_Describe", "<eos>"]
+    grammar = ModuleGrammar(vocab)
+    cfg = NetgenConfig(
+        num_vocab_txt=30, embed_dim_txt=16,
+        num_vocab_nmn=grammar.num_vocab, embed_dim_nmn=16,
+        lstm_dim=32, num_layers=2, T_decoder=8,
+        decoder_sampling=False, mask_mode="grammar")
+    params = init_netgen(jax.random.PRNGKey(0), cfg)
+    arrays = make_grammar_arrays(grammar, 8)
+    rng = np.random.RandomState(0)
+    text = jnp.asarray(rng.randint(0, 30, size=(10, 8)), jnp.int32)
+    lengths = jnp.asarray(rng.randint(3, 11, size=8), jnp.int32)
+
+    base = run_netgen(params, cfg, arrays, text, lengths,
+                      jax.random.PRNGKey(1))
+    monkeypatch.setattr(common, "ENC_INT8", "1")
+    quant = run_netgen(params, cfg, arrays, text, lengths,
+                       jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(quant.tokens),
+                                  np.asarray(base.tokens))
+    np.testing.assert_allclose(np.asarray(quant.atts),
+                               np.asarray(base.atts), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(quant.token_probs),
+                               np.asarray(base.token_probs), atol=2e-2)
+
+
+def test_enc_int8_gate(monkeypatch):
+    """ENC_INT8 "auto" mirrors GRID_INT8: inference-on-TPU only."""
+    from n2nmn_tpu.models.modules import common
+    from n2nmn_tpu.ops.pallas import kernels
+
+    monkeypatch.setattr(common, "ENC_INT8", "auto")
+    monkeypatch.setattr(kernels, "_interpret_mode", lambda: False)
+    assert common.enc_int8_active()
+    with common.training_trace():
+        assert not common.enc_int8_active()
+    monkeypatch.setattr(kernels, "_interpret_mode", lambda: True)
+    assert not common.enc_int8_active()
+    monkeypatch.setattr(common, "ENC_INT8", "0")
+    monkeypatch.setattr(kernels, "_interpret_mode", lambda: False)
+    assert not common.enc_int8_active()
+
+
 def test_grid_int8_gate(monkeypatch):
     """"auto" = on for inference traces on real TPU, off under
     training_trace() and on CPU; explicit "1"/"0" override."""
