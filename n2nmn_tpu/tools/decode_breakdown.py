@@ -120,6 +120,28 @@ def build_programs(n, dtype):
             return q + 1e-6 * d2
         return scan(step, q0)
 
+    @jax.jit
+    def attn_xla_int8(p, q0):
+        # the ENC_INT8 serving path (models/netgen.py): enc tensors
+        # quantized once outside the scan; per step the dequant fuses
+        # into the tanh loop and the context sum's scale factors out —
+        # half the HBM bytes of attn_xla
+        from n2nmn_tpu.ops.pallas.kernels import quantize_grid
+        et_q, s_t = quantize_grid(p["enc_trans"], axis=0)
+        eo_q, s_o = quantize_grid(p["enc_out"], axis=0)
+        s_t, s_o = s_t.astype(dtype), s_o.astype(dtype)
+
+        def step(q):
+            enc_t = et_q.astype(dtype) * s_t[None]
+            att_raw = jnp.einsum(
+                "tnd,d->tn", jnp.tanh(q[None] + enc_t), p["v"])
+            att = jax.nn.softmax(att_raw, axis=0) * mask
+            att = att / jnp.sum(att, axis=0, keepdims=True)
+            d2 = jnp.sum(att[:, :, None] * eo_q.astype(dtype),
+                         axis=0) * s_o
+            return q + 1e-6 * d2
+        return scan(step, q0)
+
     def attn_fused_maker():
         from n2nmn_tpu.ops.pallas.attention import (bahdanau_attention,
                                                     pad_time)
@@ -198,8 +220,9 @@ def build_programs(n, dtype):
             return (trans_flat[st * nv + tok], s + 1e-6)
         return scan(step, (jnp.zeros((n,), jnp.int32), scores0))
 
-    return (empty, lstm_head, attn_xla, attn_xla_dot, attn_fused_maker,
-            grammar_einsum, grammar_dfa, grammar_dfa_packed)
+    return (empty, lstm_head, attn_xla, attn_xla_dot, attn_xla_int8,
+            attn_fused_maker, grammar_einsum, grammar_dfa,
+            grammar_dfa_packed)
 
 
 def main():
@@ -218,8 +241,8 @@ def main():
     for n in args.batch_sizes:
         key = jax.random.PRNGKey(0)
         params = _params(n, key, dtype)
-        (empty, lstm_head, attn_xla, attn_xla_dot, fused_maker,
-         grammar_einsum, grammar_dfa,
+        (empty, lstm_head, attn_xla, attn_xla_dot, attn_xla_int8,
+         fused_maker, grammar_einsum, grammar_dfa,
          grammar_dfa_packed) = build_programs(n, dtype)
         q0 = jax.random.normal(key, (n, D), dtype)
         s0 = jax.random.normal(key, (n, V), dtype)
@@ -231,6 +254,8 @@ def main():
         rec["attn_xla_ms"] = _timeit(attn_xla, (params, q0)) * 1e3
         rec["attn_xla_dot_ms"] = _timeit(attn_xla_dot,
                                          (params, q0)) * 1e3
+        rec["attn_xla_int8_ms"] = _timeit(attn_xla_int8,
+                                          (params, q0)) * 1e3
         rec["grammar_einsum_ms"] = _timeit(grammar_einsum,
                                            (params, s0)) * 1e3
         rec["grammar_dfa_ms"] = _timeit(grammar_dfa, (params, s0)) * 1e3
@@ -245,6 +270,8 @@ def main():
         # minimum attention traffic: 2 x [T_enc, N, D] per decode step
         rec["attn_roofline_ms"] = (
             T_DEC * 2 * T_ENC * n * D * dtype_bytes / V5E_HBM_GBPS) * 1e3
+        rec["attn_int8_roofline_ms"] = (
+            T_DEC * 2 * T_ENC * n * D * 1 / V5E_HBM_GBPS) * 1e3
         report["sweep"].append(rec)
         print(json.dumps(rec), flush=True)
 

@@ -11,8 +11,8 @@ def test_components_run_and_order():
     n = 8
     dtype = jnp.float32
     params = db._params(n, jax.random.PRNGKey(0), dtype)
-    (empty, lstm_head, attn_xla, attn_xla_dot, fused_maker,
-     grammar_einsum, grammar_dfa,
+    (empty, lstm_head, attn_xla, attn_xla_dot, attn_xla_int8,
+     fused_maker, grammar_einsum, grammar_dfa,
      grammar_dfa_packed) = db.build_programs(n, dtype)
     x0 = jnp.zeros((n, db.D), dtype)
     q0 = jax.random.normal(jax.random.PRNGKey(1), (n, db.D), dtype)
@@ -28,6 +28,9 @@ def test_components_run_and_order():
     out_f = fused_maker()(params, q0)
     # both attention variants compute the same chain
     assert jnp.allclose(out_x, out_f, rtol=1e-4, atol=1e-5)
+    # int8 variant within quantization error of the bf16/f32 chain
+    out_q = attn_xla_int8(params, q0)
+    assert jnp.allclose(out_x, out_q, rtol=1e-2, atol=1e-2)
     # the DFA grammar paths must choose the same tokens as the einsum path
     st_e, se = grammar_einsum(params, s0)
     st_d, sd = grammar_dfa(params, s0)
