@@ -22,6 +22,18 @@ N2NMN_GRID_INT8=1 N2NMN_ENC_INT8=1 python -u -m n2nmn_tpu.tools.profile_eval \
 N2NMN_GRID_INT8=1 N2NMN_ENC_INT8=1 python -u -m n2nmn_tpu.tools.profile_eval \
     --flavor vqa --batch_sizes 64 256 --out perf/profile_vqa_both_int8_r3e.json
 
+# 4b. small-batch latency regime: the decode dispatch floor dominates
+#     there (batch-64 decode = 3.4x roofline) — sweep the unroll knob
+#     where it might actually pay, plus the int8 modes
+python -u -m n2nmn_tpu.tools.profile_eval \
+    --batch_sizes 16 64 --out perf/profile_base_small_r3e.json
+N2NMN_SCAN_UNROLL=2 python -u -m n2nmn_tpu.tools.profile_eval \
+    --batch_sizes 16 64 --out perf/profile_unroll2_small_r3e.json
+N2NMN_SCAN_UNROLL=4 python -u -m n2nmn_tpu.tools.profile_eval \
+    --batch_sizes 16 64 --out perf/profile_unroll4_small_r3e.json
+N2NMN_GRID_INT8=1 N2NMN_ENC_INT8=1 python -u -m n2nmn_tpu.tools.profile_eval \
+    --batch_sizes 16 64 --out perf/profile_both_int8_small_r3e.json
+
 # 5. trained-snapshot equivalence: enc-int8 alone, then the full stack
 python -u -m n2nmn_tpu.tools.bf16_check --data_root ./exp_clevr_mini \
     --exp_name mini_clevr_gt_layout_s0 --snapshot_name 00060000 \
