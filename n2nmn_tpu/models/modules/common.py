@@ -134,6 +134,32 @@ def enc_int8_active() -> bool:
     from n2nmn_tpu.ops.pallas.kernels import _interpret_mode
     return not _interpret_mode()
 
+
+# Early-exit greedy decode: in grammar mode, once a sequence emits <eos>
+# the DFA pins it to <eos> forever (prob 1, logprob 0, entropy 0), so
+# every step after the LAST sequence in the batch finishes is pure
+# recomputation of those constants. Trained CLEVR layouts average ~half
+# of T_decoder=20, so a batch-level lax.while_loop that stops at
+# all-<eos> (outputs pre-filled with the exact post-eos constants)
+# skips the dead steps. Serving-only: reverse-mode AD cannot cross
+# lax.while_loop, so "auto" is off under training traces (the scan path
+# remains the training decoder); also off with teacher forcing (gt
+# layouts need all T rows emitted). Default "0" until measured.
+EARLY_EXIT = os.environ.get("N2NMN_EARLY_EXIT", "0")
+
+
+def early_exit_active() -> bool:
+    """Resolve EARLY_EXIT at trace time (batch-independent)."""
+    v = EARLY_EXIT
+    if v in (True, "1"):
+        return True
+    if v in (False, "0"):
+        return False
+    if _TRAINING_TRACE:
+        return False
+    from n2nmn_tpu.ops.pallas.kernels import _interpret_mode
+    return not _interpret_mode()
+
 # _Transform implementation: "conv" materializes the [N, HW, map_dim]
 # conv-on-attention intermediate in the executor scan each step; "dot"
 # reassociates the l2norm+project so only k^2-dim patch tensors flow

@@ -335,9 +335,47 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
         return (((c, h), state, new_eos, next_inp, key), out)
 
     carry0 = ((c0, h0), state0, eos0, go, rng)
+    from n2nmn_tpu.models.modules.common import early_exit_active
     from n2nmn_tpu.ops.nn import SCAN_UNROLL, maybe_remat
-    _, (tokens, token_probs, token_logprobs, neg_ents, atts) = jax.lax.scan(
-        maybe_remat(step), carry0, gt_layout, unroll=SCAN_UNROLL)
+    T_dec = cfg.T_decoder
+    if grammar_mode and not use_gt_layout and early_exit_active():
+        # Early-exit decode (common.EARLY_EXIT): run the same step body
+        # under a while_loop that stops once every sequence has emitted
+        # <eos>. The DFA keeps finished sequences in the eos state
+        # (<eos> sole valid token -> masked log-softmax gives prob 1,
+        # logprob 0, entropy 0), so pre-filling the skipped rows with
+        # exactly those constants reproduces the scan's outputs; only
+        # the skipped rows' attention maps differ (zeros instead of the
+        # dead steps' maps — their word_vecs feed no-op executor steps).
+        cdtype = dec_embed.dtype
+        bufs0 = (
+            jnp.full((T_dec, N), eos_idx, jnp.int32),         # tokens
+            jnp.ones((T_dec, N), cdtype),                     # probs
+            jnp.zeros((T_dec, N), cdtype),                    # logprobs
+            jnp.zeros((T_dec, N), cdtype),                    # neg ents
+            jnp.zeros((T_dec, T_enc, N), cdtype),             # atts
+        )
+        dummy_gt = jnp.zeros((N,), jnp.int32)
+
+        def ee_body(st):
+            carry, t, bufs, _ = st
+            carry, out = step(carry, dummy_gt)
+            bufs = tuple(b.at[t].set(o.astype(b.dtype))
+                         for b, o in zip(bufs, out))
+            return carry, t + 1, bufs, jnp.all(out[0] == eos_idx)
+
+        def ee_cond(st):
+            _, t, _, done = st
+            return jnp.logical_and(t < T_dec, jnp.logical_not(done))
+
+        _, _, bufs, _ = jax.lax.while_loop(
+            ee_cond, ee_body,
+            (carry0, jnp.int32(0), bufs0, jnp.array(False)))
+        tokens, token_probs, token_logprobs, neg_ents, atts = bufs
+    else:
+        _, (tokens, token_probs, token_logprobs, neg_ents, atts) = (
+            jax.lax.scan(maybe_remat(step), carry0, gt_layout,
+                         unroll=SCAN_UNROLL))
 
     # word_vecs[t] = sum_te att[t, te] * embedded_question[te]
     word_vecs = jnp.einsum("ktn,tne->kne", atts, embedded_seq)

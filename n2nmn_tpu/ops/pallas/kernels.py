@@ -217,11 +217,10 @@ def _readout_q_fwd_kernel(att_ref, img_ref, scale_ref, out_ref):
     ex = jnp.exp(a - m)
     s = ex / jnp.sum(ex, axis=2, keepdims=True)           # [BN, K, HW]
     qf = img_ref[:].astype(jnp.float32)                   # [BN, HW, D]
-    k = a.shape[1]
-    # K is 1 or 2 (static): rank-3 mul+reduce per readout instead of a
-    # rank-4 intermediate (Mosaic-friendlier; qf stays VMEM-resident)
-    ys = [jnp.sum(s[:, i, :, None] * qf, axis=1) for i in range(k)]
-    y = jnp.stack(ys, axis=1) if k > 1 else ys[0][:, None, :]
+    # rank-4 broadcast mul + reduce over HW (K is 1 or 2, static).
+    # NOT integer indexing per k: in-kernel `s[:, i]` lowers as a
+    # gather, which Mosaic rejects ("Only 2D gather is supported").
+    y = jnp.sum(s[:, :, :, None] * qf[:, None, :, :], axis=2)  # [BN,K,D]
     y = y * scale_ref[:][:, None, :].astype(jnp.float32)  # dequantize
     out_ref[:] = y.astype(out_ref.dtype)
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +31,7 @@ import numpy as np
 
 
 def run(data_root, exp_name, snapshot_name, test_split, T_decoder=20,
-        int8=False, enc_int8=False):
+        int8=False, enc_int8=False, early_exit=False):
     from n2nmn_tpu.experiments import clevr
     from n2nmn_tpu.models.modules import common
     from n2nmn_tpu.train.checkpoint import load_params
@@ -55,17 +56,19 @@ def run(data_root, exp_name, snapshot_name, test_split, T_decoder=20,
     eval_step_var = make_eval_step(model)
 
     def eval_variant(params_v, batch, rng):
-        if not (int8 or enc_int8):
+        if not (int8 or enc_int8 or early_exit):
             return eval_step_var(params_v, batch, rng)
-        prev_g, prev_e = common.GRID_INT8, common.ENC_INT8
+        prev = (common.GRID_INT8, common.ENC_INT8, common.EARLY_EXIT)
         if int8:
             common.GRID_INT8 = "1"
         if enc_int8:
             common.ENC_INT8 = "1"
+        if early_exit:
+            common.EARLY_EXIT = "1"
         try:
             return eval_step_var(params_v, batch, rng)
         finally:
-            common.GRID_INT8, common.ENC_INT8 = prev_g, prev_e
+            common.GRID_INT8, common.ENC_INT8, common.EARLY_EXIT = prev
 
     rng = jax.random.PRNGKey(0)
 
@@ -73,15 +76,20 @@ def run(data_root, exp_name, snapshot_name, test_split, T_decoder=20,
                                one_pass=True, T_decoder=T_decoder)
     n_total = tok_mismatch = pred_mismatch = val_mismatch = 0
     correct32 = correct16 = 0
+    t_base = t_var = 0.0
     for batch in reader.batches():
         n = batch.pop("n_real")
         batch.pop("image_path", None)
         batch.pop("gt_layout", None)
         labels = np.asarray(batch["label"])[:n]
-        out32 = eval_step(params, batch, rng)
+        t0 = time.perf_counter()
+        out32 = jax.block_until_ready(eval_step(params, batch, rng))
+        t_base += time.perf_counter() - t0
         b16 = dict(batch)
         b16["image"] = batch["image"].astype(np.float32)  # cast in-model
-        out16 = eval_variant(params_bf16, b16, rng)
+        t0 = time.perf_counter()
+        out16 = jax.block_until_ready(eval_variant(params_bf16, b16, rng))
+        t_var += time.perf_counter() - t0
         tok_mismatch += int(np.sum(np.any(
             np.asarray(out32["tokens"])[:, :n]
             != np.asarray(out16["tokens"])[:, :n], axis=0)))
@@ -111,6 +119,11 @@ def run(data_root, exp_name, snapshot_name, test_split, T_decoder=20,
                       and val_mismatch == 0),
         "grid_int8": bool(int8),
         "enc_int8": bool(enc_int8),
+        "early_exit": bool(early_exit),
+        # device seconds over the split (first batch includes compile;
+        # comparable across variants run by the same invocation shape)
+        "eval_seconds_f32": round(t_base, 3),
+        "eval_seconds_variant": round(t_var, 3),
         "platform": jax.devices()[0].platform,
     }
 
@@ -125,10 +138,13 @@ if __name__ == "__main__":
                    help="also enable int8 grid streaming in the variant")
     p.add_argument("--enc_int8", action="store_true",
                    help="also enable int8 decoder enc-tensor streaming")
+    p.add_argument("--early_exit", action="store_true",
+                   help="also enable the early-exit decode in the variant")
     p.add_argument("--out", default=None)
     args = p.parse_args()
     res = run(args.data_root, args.exp_name, args.snapshot_name,
-              args.test_split, int8=args.int8, enc_int8=args.enc_int8)
+              args.test_split, int8=args.int8, enc_int8=args.enc_int8,
+              early_exit=args.early_exit)
     print(json.dumps(res, indent=2))
     if args.out:
         os.makedirs(os.path.dirname(args.out), exist_ok=True)

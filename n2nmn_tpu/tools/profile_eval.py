@@ -220,6 +220,7 @@ def main():
               "mode": {
                   "grid_int8": _common.grid_int8_active(),
                   "enc_int8": _common.enc_int8_active(),
+                  "early_exit": _common.early_exit_active(),
                   "fused_fsp": _common.fused_fsp_active(),
                   "transform": _common.TRANSFORM_IMPL,
                   "fused_attention":
@@ -283,7 +284,6 @@ def main():
         report["trace_dir"] = args.trace_dir
 
     if args.out:
-        import os
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:
             json.dump(report, f, indent=2)

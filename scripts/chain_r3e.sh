@@ -44,4 +44,18 @@ python -u -m n2nmn_tpu.tools.bf16_check --data_root ./exp_clevr_mini \
     --test_split tst --int8 --enc_int8 \
     --out exp_clevr_mini/results/full_int8_equivalence_r3e.json
 
+# 6. early-exit decode on the trained snapshot: predictions must be
+#    identical (post-eos steps are no-ops); eval_seconds_variant vs
+#    eval_seconds_f32 is the honest trained-model serving measurement
+python -u -m n2nmn_tpu.tools.bf16_check --data_root ./exp_clevr_mini \
+    --exp_name mini_clevr_gt_layout_s0 --snapshot_name 00060000 \
+    --test_split tst --early_exit \
+    --out exp_clevr_mini/results/early_exit_equivalence_r3e.json
+
+# 7. the full serving stack: bf16 + int8 grids + int8 enc + early exit
+python -u -m n2nmn_tpu.tools.bf16_check --data_root ./exp_clevr_mini \
+    --exp_name mini_clevr_gt_layout_s0 --snapshot_name 00060000 \
+    --test_split tst --int8 --enc_int8 --early_exit \
+    --out exp_clevr_mini/results/full_serving_equivalence_r3e.json
+
 echo CHAIN-R3E-DONE

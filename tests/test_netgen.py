@@ -121,3 +121,53 @@ def test_attention_normalized_over_question():
     # attention beyond seq_length must be zero (seq_not_finished mask)
     for n in range(atts.shape[2]):
         assert np.all(atts[:, int(lengths[n]):, n] == 0)
+
+
+@pytest.mark.parametrize("sampling", [False, True])
+def test_early_exit_matches_scan(sampling, monkeypatch):
+    """EARLY_EXIT serving decode: the while_loop that stops at all-<eos>
+    must reproduce the scan path exactly — post-eos rows ARE the
+    constants it pre-fills (DFA pins finished sequences to <eos>, prob
+    1, logprob 0, entropy 0). Bias the token head toward <eos> so
+    programs finish early and the exit actually fires."""
+    from n2nmn_tpu.models.modules import common
+
+    grammar, cfg, params, arrays = _make(CLEVR_VOCAB, "grammar", sampling)
+    # bias <eos> AND the answer modules (the grammar only admits <eos>
+    # after an answer-module root, so biasing <eos> alone cannot
+    # shortcut an att-module chain)
+    b = params["decoder"]["token_pred"]["b"]
+    b = b.at[grammar.eos_idx].add(50.0)
+    for name in ["_Exist", "_Count", "_EqualNum", "_MoreNum", "_LessNum",
+                 "_SameProperty", "_Describe"]:
+        b = b.at[grammar.name2idx[name]].add(25.0)
+    params["decoder"]["token_pred"]["b"] = b
+    text, lengths = _inputs()
+
+    base = run_netgen(params, cfg, arrays, text, lengths,
+                      jax.random.PRNGKey(2))
+    tok_b = np.asarray(base.tokens)
+    # sanity: the batch really finishes before T_decoder
+    done_t = np.argmax(np.all(tok_b == grammar.eos_idx, axis=1))
+    assert np.all(tok_b == grammar.eos_idx, axis=1).any()
+    assert done_t < cfg.T_decoder - 1
+
+    monkeypatch.setattr(common, "EARLY_EXIT", "1")
+    ee = run_netgen(params, cfg, arrays, text, lengths,
+                    jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(ee.tokens), tok_b)
+    np.testing.assert_allclose(np.asarray(ee.token_probs),
+                               np.asarray(base.token_probs),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ee.log_seq_prob),
+                               np.asarray(base.log_seq_prob),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ee.neg_entropy),
+                               np.asarray(base.neg_entropy),
+                               rtol=1e-6, atol=1e-6)
+    # attention maps agree on every executed step; skipped steps are
+    # zero-filled (their word_vecs feed no-op executor steps only)
+    np.testing.assert_allclose(np.asarray(ee.atts)[:done_t + 1],
+                               np.asarray(base.atts)[:done_t + 1],
+                               rtol=1e-5, atol=1e-6)
+    assert np.all(np.asarray(ee.atts)[done_t + 1:] == 0)

@@ -350,3 +350,51 @@ def test_fused_readout_grads():
     for a, r in zip(gp, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_no_gather_inside_kernels():
+    """Mosaic rejects in-kernel gathers ("Only 2D gather is supported"),
+    but CPU interpret mode happily runs them — so a kernel can pass every
+    CPU test and still fail TPU lowering (round 3: integer indexing
+    `s[:, i]` in the int8 readout). Walk every pallas_call's kernel
+    jaxpr in representative calls and assert no gather snuck in."""
+    from n2nmn_tpu.ops.pallas.kernels import (
+        fused_find, fused_find_q, fused_readout, fused_readout_q,
+        quantize_grid)
+
+    def kernel_prims(fn, *args):
+        jx = jax.make_jaxpr(fn)(*args)
+        prims = set()
+
+        def walk(j):
+            for eqn in j.eqns:
+                if eqn.primitive.name == "pallas_call":
+                    prims.update(e.primitive.name
+                                 for e in eqn.params["jaxpr"].eqns)
+                for v in eqn.params.values():
+                    if hasattr(v, "jaxpr") and hasattr(v.jaxpr, "eqns"):
+                        walk(v.jaxpr)
+                    elif hasattr(v, "eqns"):
+                        walk(v)
+        walk(jx.jaxpr)
+        assert prims, "no pallas_call found"
+        return prims
+
+    key = jax.random.PRNGKey(0)
+    img = jax.random.normal(key, (3, 20, 16))
+    att2 = jax.random.normal(key, (3, 2, 20))
+    att1 = jax.random.normal(key, (3, 20))
+    txt = jax.random.normal(key, (3, 16))
+    w = jax.random.normal(key, (16,))
+    b = jnp.float32(0.1)
+    q, scale = quantize_grid(img)
+
+    for prims in (
+        kernel_prims(lambda a, i: fused_readout(a, i), att1, img),
+        kernel_prims(lambda a: fused_readout_q(a, q, scale, jnp.float32),
+                     att2),
+        kernel_prims(lambda t: fused_find(img, t, w, b), txt),
+        kernel_prims(lambda t: fused_find_q(q, t, w, b, jnp.float32),
+                     txt),
+    ):
+        assert "gather" not in prims, prims
