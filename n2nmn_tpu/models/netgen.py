@@ -338,15 +338,17 @@ def run_netgen(params, cfg: NetgenConfig, grammar_arrays,
     from n2nmn_tpu.models.modules.common import early_exit_active
     from n2nmn_tpu.ops.nn import SCAN_UNROLL, maybe_remat
     T_dec = cfg.T_decoder
-    if grammar_mode and not use_gt_layout and early_exit_active():
+    if not use_gt_layout and early_exit_active():
         # Early-exit decode (common.EARLY_EXIT): run the same step body
         # under a while_loop that stops once every sequence has emitted
-        # <eos>. The DFA keeps finished sequences in the eos state
-        # (<eos> sole valid token -> masked log-softmax gives prob 1,
-        # logprob 0, entropy 0), so pre-filling the skipped rows with
-        # exactly those constants reproduces the scan's outputs; only
-        # the skipped rows' attention maps differ (zeros instead of the
-        # dead steps' maps — their word_vecs feed no-op executor steps).
+        # <eos>. Finished sequences are pinned to <eos> with prob 1,
+        # logprob 0, entropy 0 — by the grammar DFA (<eos> sole valid
+        # token -> masked log-softmax gives exactly those) or by the
+        # eos_force post-<eos> overrides above — so pre-filling the
+        # skipped rows with those constants reproduces the scan's
+        # outputs; only the skipped rows' attention maps differ (zeros
+        # instead of the dead steps' maps — their word_vecs feed no-op
+        # executor steps).
         cdtype = dec_embed.dtype
         bufs0 = (
             jnp.full((T_dec, N), eos_idx, jnp.int32),         # tokens

@@ -171,3 +171,41 @@ def test_early_exit_matches_scan(sampling, monkeypatch):
                                np.asarray(base.atts)[:done_t + 1],
                                rtol=1e-5, atol=1e-6)
     assert np.all(np.asarray(ee.atts)[done_t + 1:] == 0)
+
+
+@pytest.mark.parametrize("sampling", [False, True])
+def test_early_exit_matches_scan_eos_force(sampling, monkeypatch):
+    """Early exit in SHAPES' unmasked eos_force mode: the post-<eos>
+    overrides (netgen.py eos_force branch) produce the same constants
+    the early-exit path pre-fills, so outputs must match exactly."""
+    from n2nmn_tpu.models.modules import common
+
+    grammar, cfg, params, arrays = _make(SHAPES_VOCAB, "eos_force",
+                                         sampling, T_dec=11)
+    b = params["decoder"]["token_pred"]["b"]
+    params["decoder"]["token_pred"]["b"] = b.at[grammar.eos_idx].add(50.0)
+    text, lengths = _inputs()
+
+    base = run_netgen(params, cfg, arrays, text, lengths,
+                      jax.random.PRNGKey(3))
+    tok_b = np.asarray(base.tokens)
+    done_t = np.argmax(np.all(tok_b == grammar.eos_idx, axis=1))
+    assert np.all(tok_b == grammar.eos_idx, axis=1).any()
+    assert done_t < cfg.T_decoder - 1
+
+    monkeypatch.setattr(common, "EARLY_EXIT", "1")
+    ee = run_netgen(params, cfg, arrays, text, lengths,
+                    jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(ee.tokens), tok_b)
+    np.testing.assert_allclose(np.asarray(ee.token_probs),
+                               np.asarray(base.token_probs),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ee.log_seq_prob),
+                               np.asarray(base.log_seq_prob),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ee.neg_entropy),
+                               np.asarray(base.neg_entropy),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ee.atts)[:done_t + 1],
+                               np.asarray(base.atts)[:done_t + 1],
+                               rtol=1e-5, atol=1e-6)
