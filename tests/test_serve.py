@@ -80,3 +80,41 @@ def test_answer_chunks_many_requests():
     big = NMNServer(model, params, batch_size=16)
     ref = big.answer_batch(text, sl, imgs)
     np.testing.assert_array_equal(out["predictions"], ref["predictions"])
+
+
+def test_serving_quant_modes_match(monkeypatch):
+    """The full serving-mode stack (int8 grids + int8 enc tensors +
+    early-exit decode) through NMNServer must answer identically to the
+    plain path on a tiny CLEVR-flavor model (the flavor with the int8
+    grid paths; quantization error far below the random-init argmax
+    margins; early exit is exact)."""
+    from n2nmn_tpu.models.modules import common
+
+    grammar = ModuleGrammar([
+        "_Scene", "_Find", "_Filter", "_FindSameProperty", "_Transform",
+        "_And", "_Or", "_Exist", "_Count", "_EqualNum", "_MoreNum",
+        "_LessNum", "_SameProperty", "_Describe", "<eos>"])
+    net_cfg = NetgenConfig(
+        num_vocab_txt=12, embed_dim_txt=8, num_vocab_nmn=grammar.num_vocab,
+        embed_dim_nmn=8, lstm_dim=16, num_layers=1, T_decoder=6,
+        decoder_sampling=False, mask_mode="grammar")
+    cfg = NMNConfig(flavor="clevr", netgen=net_cfg, num_choices=4,
+                    H_feat=3, W_feat=3, D_feat=6)
+    model = NMNModel(cfg, grammar)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(5)
+    t_enc, b = 6, 8
+    text = rng.randint(0, 12, size=(t_enc, b)).astype(np.int32)
+    sl = np.full((b,), t_enc, np.int32)
+    imgs = rng.randn(b, 3, 3, 6).astype(np.float32)
+
+    ref = NMNServer(model, params, batch_size=b).answer_batch(
+        text, sl, imgs)
+    monkeypatch.setattr(common, "GRID_INT8", "1")
+    monkeypatch.setattr(common, "ENC_INT8", "1")
+    monkeypatch.setattr(common, "EARLY_EXIT", "1")
+    out = NMNServer(model, params, batch_size=b).answer_batch(
+        text, sl, imgs)
+    np.testing.assert_array_equal(out["tokens"], ref["tokens"])
+    np.testing.assert_array_equal(out["predictions"], ref["predictions"])
+    np.testing.assert_array_equal(out["validity"], ref["validity"])
