@@ -77,6 +77,7 @@ def run(data_root, exp_name, snapshot_name, test_split, T_decoder=20,
     n_total = tok_mismatch = pred_mismatch = val_mismatch = 0
     correct32 = correct16 = 0
     t_base = t_var = 0.0
+    first = True
     for batch in reader.batches():
         n = batch.pop("n_real")
         batch.pop("image_path", None)
@@ -84,12 +85,16 @@ def run(data_root, exp_name, snapshot_name, test_split, T_decoder=20,
         labels = np.asarray(batch["label"])[:n]
         t0 = time.perf_counter()
         out32 = jax.block_until_ready(eval_step(params, batch, rng))
-        t_base += time.perf_counter() - t0
+        dt32 = time.perf_counter() - t0
         b16 = dict(batch)
         b16["image"] = batch["image"].astype(np.float32)  # cast in-model
         t0 = time.perf_counter()
         out16 = jax.block_until_ready(eval_variant(params_bf16, b16, rng))
-        t_var += time.perf_counter() - t0
+        dt16 = time.perf_counter() - t0
+        if not first:      # skip the compile-bearing first batch
+            t_base += dt32
+            t_var += dt16
+        first = False
         tok_mismatch += int(np.sum(np.any(
             np.asarray(out32["tokens"])[:, :n]
             != np.asarray(out16["tokens"])[:, :n], axis=0)))
@@ -120,8 +125,8 @@ def run(data_root, exp_name, snapshot_name, test_split, T_decoder=20,
         "grid_int8": bool(int8),
         "enc_int8": bool(enc_int8),
         "early_exit": bool(early_exit),
-        # device seconds over the split (first batch includes compile;
-        # comparable across variants run by the same invocation shape)
+        # device seconds over the split, excluding each side's
+        # compile-bearing first batch
         "eval_seconds_f32": round(t_base, 3),
         "eval_seconds_variant": round(t_var, 3),
         "platform": jax.devices()[0].platform,

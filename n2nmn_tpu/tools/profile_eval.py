@@ -198,6 +198,13 @@ def main():
                    help="also capture a jax.profiler trace (see "
                         "--trace_batch; analyze with tools/trace_ops.py)")
     p.add_argument("--trace_batch", type=int, default=256)
+    p.add_argument("--eos_bias", type=float, default=0.0,
+                   help="bias added to the <eos> (and half of it to the "
+                        "answer-module) token-head logits so random-"
+                        "weight greedy decodes emit realistically short "
+                        "programs — the structural way to exercise "
+                        "N2NMN_EARLY_EXIT at flagship geometry, where "
+                        "trained checkpoints do not exist")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -232,10 +239,24 @@ def main():
     for n in args.batch_sizes:
         params, text_seq, seq_length, image_feat, rng = make_inputs(
             model, n, args.t_enc, bf16=bf16)
+        if args.eos_bias:
+            b = params["netgen"]["decoder"]["token_pred"]["b"]
+            eos = int(model.grammar_arrays["eos_idx"])
+            ans_toks = np.where(np.asarray(model.tables.is_ans))[0]
+            b = b.at[eos].add(args.eos_bias)
+            for tok in ans_toks:
+                b = b.at[int(tok)].add(args.eos_bias / 2.0)
+            params["netgen"]["decoder"]["token_pred"]["b"] = b
+            report["mode"]["eos_bias"] = args.eos_bias
         dt_fused = _timeit(fused, (params, text_seq, seq_length,
                                    image_feat, rng))
         dt_dec = _timeit(decode_only, (params, text_seq, seq_length, rng))
         tokens, word_vecs = decode_only(params, text_seq, seq_length, rng)
+        if args.eos_bias:
+            tk = np.asarray(tokens)
+            eos = int(model.grammar_arrays["eos_idx"])
+            lengths = np.argmax(tk == eos, axis=0) + 1  # first <eos>, 1-based
+            lengths = np.where((tk == eos).any(axis=0), lengths, tk.shape[0])
         dt_exe = _timeit(execute_only,
                          (params, tokens, word_vecs, image_feat))
         roof = roofline(model, n, args.t_enc, dtype_bytes)
@@ -243,6 +264,9 @@ def main():
         rec = {
             "batch": n,
             "transform_impl": common.transform_impl_for_batch(n),
+            **({"mean_program_len": float(lengths.mean()),
+                "max_program_len": int(lengths.max())}
+               if args.eos_bias else {}),
             "qps": n / dt_fused,
             "fused_ms": dt_fused * 1e3,
             "decode_ms": dt_dec * 1e3,

@@ -47,7 +47,11 @@ def _scan20(body, steps):
     def fn(*args):
         def step(c, _):
             y = body(c, *args)
-            return c + jnp.mean(y).astype(c.dtype), None
+            # nonlinear per-element fold: a plain mean(y) lets XLA
+            # reassociate sum(sm @ img) into sm @ rowsum(img) and hoist
+            # the grid reduction out of the scan (observed: the readout
+            # cases measured 0.03 ms against a 3.8 ms streaming floor)
+            return c + jnp.mean(jnp.tanh(y)).astype(c.dtype), None
         return jax.lax.scan(step, jnp.zeros((), jnp.float32), None,
                             length=steps)[0]
     return jax.jit(fn)
