@@ -39,11 +39,19 @@ class NMNServer:
     """
 
     def __init__(self, model, params, batch_size=64, answer_words=None,
-                 mesh=None, use_tp=True):
+                 mesh=None, use_tp=True, early_exit=False):
         """mesh: optional jax.sharding.Mesh for multi-chip serving — the
         batch shards along its 'dp' axis and the big embedding/answer
         matrices along 'tp' (parallel/mesh.py rules); XLA inserts the
-        collectives. batch_size must divide by the dp size."""
+        collectives. batch_size must divide by the dp size.
+
+        early_exit: decode with the all-<eos> early-exit while_loop
+        (N2NMN_EARLY_EXIT) — identical outputs (exp_clevr_mini/results/
+        early_exit_equivalence_r3e.json), and on trained models (short
+        programs) measured +14-20% q/s (perf/profile_eosb3_*_r3g.json);
+        costs up to 15% at N=256 if programs run the full T_decoder
+        (perf/profile_ee_worstcase_r3g.json), which is why it is a
+        per-deployment choice instead of the default."""
         self.model = model
         self.batch_size = batch_size
         self.answer_words = answer_words
@@ -57,8 +65,20 @@ class NMNServer:
                 param_shardings(params, mesh, use_tp=use_tp))
         else:
             self.params = params
+        self.early_exit = early_exit
         self._eval_step = make_eval_step(model)
         self._rng = jax.random.PRNGKey(0)
+
+    def _run(self, batch):
+        if not self.early_exit:
+            return self._eval_step(self.params, batch, self._rng)
+        from n2nmn_tpu.models.modules import common
+        prev = common.EARLY_EXIT
+        common.EARLY_EXIT = "1"    # read at trace time (first call only)
+        try:
+            return self._eval_step(self.params, batch, self._rng)
+        finally:
+            common.EARLY_EXIT = prev
 
     def _put(self, batch):
         if self.mesh is None:
@@ -74,8 +94,7 @@ class NMNServer:
             "seq_length": np.ones((n,), np.int32),
             "image": np.zeros((n,) + tuple(image_shape), np.float32),
         })
-        jax.block_until_ready(self._eval_step(self.params, batch,
-                                              self._rng)["predictions"])
+        jax.block_until_ready(self._run(batch)["predictions"])
 
     def answer_batch(self, text_seq, seq_length, images):
         """One padded batch. text_seq: [T, n<=B]; images: [n<=B, ...].
@@ -89,11 +108,11 @@ class NMNServer:
                                 constant_values=1)
             images = np.pad(images,
                             ((0, b - n),) + ((0, 0),) * (images.ndim - 1))
-        out = self._eval_step(self.params, self._put({
+        out = self._run(self._put({
             "text_seq": np.asarray(text_seq),
             "seq_length": np.asarray(seq_length),
             "image": np.asarray(images),
-        }), self._rng)
+        }))
         preds = np.asarray(out["predictions"])[:n]
         res = {
             "predictions": preds,

@@ -118,3 +118,22 @@ def test_serving_quant_modes_match(monkeypatch):
     np.testing.assert_array_equal(out["tokens"], ref["tokens"])
     np.testing.assert_array_equal(out["predictions"], ref["predictions"])
     np.testing.assert_array_equal(out["validity"], ref["validity"])
+
+
+def test_server_early_exit_option():
+    """NMNServer(early_exit=True) answers identically to the default
+    server (the while_loop decode is exact)."""
+    model, params = _tiny_model()
+    rng = np.random.RandomState(7)
+    t_enc, b = 6, 8
+    text = rng.randint(0, 12, size=(t_enc, b)).astype(np.int32)
+    sl = np.full((b,), t_enc, np.int32)
+    imgs = rng.randn(b, 3, 3, 6).astype(np.float32)
+
+    ref = NMNServer(model, params, batch_size=b).answer_batch(
+        text, sl, imgs)
+    out = NMNServer(model, params, batch_size=b,
+                    early_exit=True).answer_batch(text, sl, imgs)
+    np.testing.assert_array_equal(out["tokens"], ref["tokens"])
+    np.testing.assert_array_equal(out["predictions"], ref["predictions"])
+    np.testing.assert_array_equal(out["validity"], ref["validity"])
