@@ -61,6 +61,26 @@ def render_features(scene, rng):
     return feat
 
 
+# flagship-geometry variant: same 4x4 semantics embedded in the REAL
+# CLEVR feature shape (10x15x512, reference train_clevr_gt_layout.py
+# H_FEAT/W_FEAT/D_FEAT) so a model trained on it has flagship-sized
+# tensors end to end. Each semantic cell renders as a BLOCK x BLOCK
+# tile (a one-semantic-cell _Transform shift = BLOCK=2 physical cells,
+# within the k=5 transform conv's +/-2 reach); the remaining rows/cols
+# and the 496 extra channels carry backbone-like noise.
+FLAG_H, FLAG_W, FLAG_D, BLOCK = 10, 15, 512, 2
+
+
+def render_features_flagship(scene, rng):
+    feat = (rng.randn(FLAG_H, FLAG_W, FLAG_D) * 0.1).astype(np.float32)
+    for (r, c), (color, shape) in scene.items():
+        rs, cs = r * BLOCK, c * BLOCK
+        feat[rs:rs + BLOCK, cs:cs + BLOCK, COLORS.index(color)] = 1.0
+        feat[rs:rs + BLOCK, cs:cs + BLOCK, 5 + SHAPES.index(shape)] = 1.0
+        feat[rs:rs + BLOCK, cs:cs + BLOCK, 9] = 1.0  # occupancy
+    return feat
+
+
 def sample_scene(rng, n_min=3, n_max=8):
     n = rng.randint(n_min, n_max + 1)
     cells = rng.choice(GRID * GRID, size=n, replace=False)
@@ -198,8 +218,9 @@ TEMPLATES = [q_exist, q_count, q_filter_count, q_and_exist, q_or_count,
 
 
 def generate(out_root, num_train=40000, num_val=4000, num_test=4000,
-             seed=0):
+             seed=0, flagship=False):
     rng = np.random.RandomState(seed)
+    render = render_features_flagship if flagship else render_features
     os.makedirs(os.path.join(out_root, "data", "imdb"), exist_ok=True)
     feat_dir = os.path.join(out_root, "features")
     os.makedirs(feat_dir, exist_ok=True)
@@ -217,7 +238,7 @@ def generate(out_root, num_train=40000, num_val=4000, num_test=4000,
             if result is None:
                 continue
             layout, question, answer = result
-            feats = render_features(scene, rng)
+            feats = render(scene, rng)
             name = f"mc{img_count:06d}"
             img_count += 1
             path = os.path.join(feat_dir, name + ".npy")
@@ -258,6 +279,13 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--out_root", default="./exp_clevr_mini")
     p.add_argument("--num_train", type=int, default=40000)
+    p.add_argument("--num_val", type=int, default=4000)
+    p.add_argument("--num_test", type=int, default=4000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--flagship", action="store_true",
+                   help="render at the real CLEVR feature geometry "
+                        "(10x15x512) — see render_features_flagship")
     args = p.parse_args()
-    generate(args.out_root, num_train=args.num_train, seed=args.seed)
+    generate(args.out_root, num_train=args.num_train,
+             num_val=args.num_val, num_test=args.num_test,
+             seed=args.seed, flagship=args.flagship)

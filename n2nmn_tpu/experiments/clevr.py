@@ -12,6 +12,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from n2nmn_tpu.layout.grammar import ModuleGrammar
@@ -67,6 +68,15 @@ class ClevrConfig:
     # README.md:57's 29 GB artifact). image_H/W are the raw input size;
     # the module grid becomes (image_H/32, image_W/32, 512).
     from_images: bool = False
+    # device-resident training: stage the WHOLE feature set in HBM once
+    # and run log_interval-step jitted chunks that index batches
+    # on-device (train/steps.py:make_chunked_trainer — the SHAPES
+    # trainer's design, ported up). Removes the per-step host->device
+    # feature upload, which at flagship geometry (64 x 10x15x512 f32 =
+    # 20 MB/step) dominates wall clock on any host link and utterly so
+    # over this environment's tunnel. One shuffled epoch order is
+    # frozen at staging (same tradeoff the SHAPES trainer makes).
+    device_data: bool = False
     image_H: int = 320
     image_W: int = 480
     # converted VGG-16 weights (.npz from models/vgg_convert.py, or a
@@ -170,6 +180,90 @@ def _load_vgg_weights(cfg: ClevrConfig, params):
     return params
 
 
+def _train_device_resident(cfg, model, grammar, imdb, state, tx, use_gt,
+                           snapshot_dir, logger):
+    """Chunked device-resident trainer (cfg.device_data): stage every
+    batch of one shuffled epoch in HBM, then scan log_interval-step
+    chunks that index batches on-device. Same bodies as the reader path
+    (train/steps.py cloning_step_body / rl_step_body)."""
+    from n2nmn_tpu.train.steps import (cloning_step_body,
+                                       make_chunked_trainer, rl_step_body)
+
+    sreader = make_reader(cfg, imdb, grammar,
+                          load_gt_layout=use_gt or None,
+                          shuffle=True, one_pass=True)
+    time_major = ("text_seq", "gt_layout")
+    staged = []
+    for batch in sreader.batches():
+        n = batch.pop("n_real", None)
+        batch.pop("image_path", None)
+        if not use_gt:
+            batch.pop("gt_layout", None)
+        N = batch["seq_length"].shape[0]
+        if n is not None and n < N and staged:
+            # wrap-fill the padded tail with the epoch's first rows so
+            # every staged batch is full (weight stays 1 — these are
+            # real questions repeated, as an epoch wrap would)
+            first = staged[0]
+            for k, v in batch.items():
+                ax = 1 if k in time_major else 0
+                keep = np.take(v, np.arange(n), axis=ax)
+                fill = np.take(first[k], np.arange(N - n), axis=ax)
+                batch[k] = np.concatenate([keep, fill], axis=ax)
+        staged.append({k: np.asarray(v) for k, v in batch.items()})
+    device_data = jax.device_put(
+        {k: np.stack([b[k] for b in staged]) for k in staged[0]})
+    B = len(staged)
+    gb = sum(v.nbytes for v in staged[0].values()) * B / 1e9
+    print(f"device-resident training: {B} batches staged ({gb:.1f} GB)",
+          flush=True)
+
+    if cfg.mode == "cloning":
+        body = cloning_step_body(model, tx, cfg.weight_decay,
+                                 dropout_training=True)
+    else:
+        body = rl_step_body(
+            model, tx, cfg.weight_decay, cfg.lambda_entropy,
+            cfg.invalid_expr_loss, cfg.baseline_decay,
+            dropout_training=True)
+
+    K = cfg.log_interval
+    chunk = make_chunked_trainer(body, device_data, B, K)
+    chunk_last = None
+    n_iter = 0
+    while n_iter < cfg.max_iter:
+        k = min(K, cfg.max_iter - n_iter)
+        if k < K:
+            if chunk_last is None:
+                chunk_last = make_chunked_trainer(body, device_data, B, k)
+            state, auxs = chunk_last(state, jnp.asarray(n_iter % B))
+        else:
+            state, auxs = chunk(state, jnp.asarray(n_iter % B))
+        auxs = jax.tree_util.tree_map(np.asarray, auxs)
+        for a in auxs["accuracy"]:
+            avg_acc = logger.update_accuracy(float(a))
+        n_iter += k
+        print("iter = %d\n\tloss = %f, accuracy (cur) = %f, "
+              "accuracy (avg) = %f, entropy = %f, validity = %f" %
+              (n_iter, float(auxs["loss"][-1]),
+               float(auxs["accuracy"][-1]), avg_acc,
+               float(auxs["entropy"][-1]), float(auxs["validity"][-1])),
+              flush=True)
+        logger.log(n_iter,
+                   {**{key: float(v[-1]) for key, v in auxs.items()},
+                    "avg_accuracy": avg_acc,
+                    "baseline": float(state.baseline)})
+        if (n_iter % cfg.snapshot_interval < k
+                or n_iter == cfg.max_iter):
+            path = snapshot_path(snapshot_dir, n_iter)
+            save_params(path, state.params,
+                        extra={"baseline": state.baseline})
+            print("snapshot saved to " + path, flush=True)
+
+    logger.close()
+    return state
+
+
 def train(cfg: ClevrConfig, pretrained_model: Optional[str] = None):
     use_gt = cfg.mode == "cloning"
     imdb = _load_imdb(cfg, cfg.imdb_trn)
@@ -205,6 +299,11 @@ def train(cfg: ClevrConfig, pretrained_model: Optional[str] = None):
 
     snapshot_dir = os.path.join(cfg.root, "tfmodel", cfg.exp_name)
     logger = MetricsLogger(os.path.join(cfg.root, "tb"), cfg.exp_name)
+
+    if cfg.device_data:
+        assert not cfg.from_images, "device_data stages feature grids"
+        return _train_device_resident(cfg, model, grammar, imdb, state,
+                                      tx, use_gt, snapshot_dir, logger)
 
     for n_iter, batch in enumerate(reader.batches()):
         if n_iter >= cfg.max_iter:

@@ -251,3 +251,24 @@ def test_scan_remat_preserves_gradients(monkeypatch):
                     jax.tree_util.tree_leaves(grads[True])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_clevr_device_resident_trainer(tmp_path):
+    """cfg.device_data: the CLEVR trainer stages the whole epoch in
+    device memory and trains through the chunked scan — loss finite,
+    snapshot written, metrics logged (the path flagship-geometry
+    synthetic training uses to avoid per-step feature uploads)."""
+    from n2nmn_tpu.data.builders import mini_clevr
+    from n2nmn_tpu.experiments import clevr
+
+    root = str(tmp_path)
+    mini_clevr.generate(root, num_train=96, num_val=16, num_test=16,
+                        seed=0)
+    cfg = clevr.ClevrConfig(exp_name="dd", root=root, max_iter=4,
+                            log_interval=2, snapshot_interval=4, N=16,
+                            device_data=True)
+    state = clevr.train(cfg)
+    assert np.isfinite(float(state.baseline))
+    assert os.path.exists(
+        os.path.join(root, "tfmodel", "dd", "00000004.npz"))
+    assert os.path.exists(os.path.join(root, "tb", "dd.jsonl"))
