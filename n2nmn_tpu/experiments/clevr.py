@@ -77,6 +77,13 @@ class ClevrConfig:
     # over this environment's tunnel. One shuffled epoch order is
     # frozen at staging (same tradeoff the SHAPES trainer makes).
     device_data: bool = False
+    # steps per jitted chunk in device_data mode. Each chunk boundary
+    # costs one host<->device sync (~87 ms over this environment's
+    # tunnel): chunking at log_interval=20 measured 77 steps/s vs 192
+    # at 200 on the flagship-geometry run. Logging stays at
+    # log_interval cadence — the chunk returns per-step aux rows, so
+    # the log is replayed at the reference granularity regardless.
+    chunk_steps: Optional[int] = None      # default max(log_interval, 200)
     image_H: int = 320
     image_W: int = 480
     # converted VGG-16 weights (.npz from models/vgg_convert.py, or a
@@ -227,32 +234,38 @@ def _train_device_resident(cfg, model, grammar, imdb, state, tx, use_gt,
             cfg.invalid_expr_loss, cfg.baseline_decay,
             dropout_training=True)
 
-    K = cfg.log_interval
-    chunk = make_chunked_trainer(body, device_data, B, K)
+    C = cfg.chunk_steps or max(cfg.log_interval, 200)
+    L = cfg.log_interval
+    chunk = make_chunked_trainer(body, device_data, B, C)
     chunk_last = None
     n_iter = 0
     while n_iter < cfg.max_iter:
-        k = min(K, cfg.max_iter - n_iter)
-        if k < K:
+        k = min(C, cfg.max_iter - n_iter)
+        if k < C:
             if chunk_last is None:
                 chunk_last = make_chunked_trainer(body, device_data, B, k)
             state, auxs = chunk_last(state, jnp.asarray(n_iter % B))
         else:
             state, auxs = chunk(state, jnp.asarray(n_iter % B))
         auxs = jax.tree_util.tree_map(np.asarray, auxs)
-        for a in auxs["accuracy"]:
-            avg_acc = logger.update_accuracy(float(a))
+        # replay the chunk's per-step aux rows at the reference log
+        # cadence (EMA per iteration, print/log every L)
+        for i in range(k):
+            avg_acc = logger.update_accuracy(float(auxs["accuracy"][i]))
+            it = n_iter + i + 1
+            if it % L == 0 or it == cfg.max_iter:
+                print("iter = %d\n\tloss = %f, accuracy (cur) = %f, "
+                      "accuracy (avg) = %f, entropy = %f, validity = %f"
+                      % (it, float(auxs["loss"][i]),
+                         float(auxs["accuracy"][i]), avg_acc,
+                         float(auxs["entropy"][i]),
+                         float(auxs["validity"][i])), flush=True)
+                logger.log(it,
+                           {**{key: float(v[i])
+                               for key, v in auxs.items()},
+                            "avg_accuracy": avg_acc,
+                            "baseline": float(state.baseline)})
         n_iter += k
-        print("iter = %d\n\tloss = %f, accuracy (cur) = %f, "
-              "accuracy (avg) = %f, entropy = %f, validity = %f" %
-              (n_iter, float(auxs["loss"][-1]),
-               float(auxs["accuracy"][-1]), avg_acc,
-               float(auxs["entropy"][-1]), float(auxs["validity"][-1])),
-              flush=True)
-        logger.log(n_iter,
-                   {**{key: float(v[-1]) for key, v in auxs.items()},
-                    "avg_accuracy": avg_acc,
-                    "baseline": float(state.baseline)})
         if (n_iter % cfg.snapshot_interval < k
                 or n_iter == cfg.max_iter):
             path = snapshot_path(snapshot_dir, n_iter)
