@@ -283,8 +283,10 @@ def train(cfg: ClevrConfig, pretrained_model: Optional[str] = None):
     if not cfg.from_images:
         cfg = infer_feature_dims(cfg, imdb)
     model, grammar = build_model(cfg, sampling=cfg.decoder_sampling)
-    reader = make_reader(cfg, imdb, grammar,
-                         load_gt_layout=use_gt or None)
+    # device_data mode builds its own one-pass reader; constructing this
+    # one too would spin up a second prefetch thread for nothing
+    reader = None if cfg.device_data else make_reader(
+        cfg, imdb, grammar, load_gt_layout=use_gt or None)
 
     key = jax.random.PRNGKey(cfg.seed)
     params = model.init(key)
