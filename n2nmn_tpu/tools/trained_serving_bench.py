@@ -81,13 +81,14 @@ def main():
               "sweep": []}
 
     for n in args.batch_sizes:
-        reader = clevr.make_reader(cfg, imdb, grammar, shuffle=False,
-                                   one_pass=True,
-                                   T_decoder=args.T_decoder)
-        # collect n real questions (wrap the split if shorter)
+        # collect n real questions (wrap the split if shorter — a fresh
+        # one-pass reader per lap; an exhausted reader yields nothing)
         texts, sls, imgs, labels = [], [], [], []
         got = 0
         while got < n:
+            reader = clevr.make_reader(cfg, imdb, grammar, shuffle=False,
+                                       one_pass=True,
+                                       T_decoder=args.T_decoder)
             for batch in reader.batches():
                 m = batch["n_real"]
                 texts.append(np.asarray(batch["text_seq"])[:, :m])
