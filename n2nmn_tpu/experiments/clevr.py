@@ -84,6 +84,12 @@ class ClevrConfig:
     # log_interval cadence — the chunk returns per-step aux rows, so
     # the log is replayed at the reference granularity regardless.
     chunk_steps: Optional[int] = None      # default max(log_interval, 200)
+    # stage features as bf16 (halves HBM residency: 40k flagship
+    # questions = 12.3 GB f32 measured OOM on the 16 GB chip, 6.1 GB
+    # bf16 fits) — the step body casts back to f32 so compute precision
+    # is unchanged; inputs carry bf16 rounding (~the serving mode's,
+    # which is equivalence-tested on trained snapshots)
+    device_data_bf16: bool = False
     image_H: int = 320
     image_W: int = 480
     # converted VGG-16 weights (.npz from models/vgg_convert.py, or a
@@ -218,10 +224,13 @@ def _train_device_resident(cfg, model, grammar, imdb, state, tx, use_gt,
                 fill = np.take(first[k], np.arange(N - n), axis=ax)
                 batch[k] = np.concatenate([keep, fill], axis=ax)
         staged.append({k: np.asarray(v) for k, v in batch.items()})
-    device_data = jax.device_put(
-        {k: np.stack([b[k] for b in staged]) for k in staged[0]})
+    stacked = {k: np.stack([b[k] for b in staged]) for k in staged[0]}
+    if cfg.device_data_bf16:
+        stacked["image"] = jnp.asarray(stacked["image"], jnp.bfloat16)
+    device_data = jax.device_put(stacked)
     B = len(staged)
-    gb = sum(v.nbytes for v in staged[0].values()) * B / 1e9
+    gb = sum(np.asarray(v).nbytes if not hasattr(v, "nbytes") else v.nbytes
+             for v in device_data.values()) / 1e9
     print(f"device-resident training: {B} batches staged ({gb:.1f} GB)",
           flush=True)
 
@@ -233,6 +242,13 @@ def _train_device_resident(cfg, model, grammar, imdb, state, tx, use_gt,
             model, tx, cfg.weight_decay, cfg.lambda_entropy,
             cfg.invalid_expr_loss, cfg.baseline_decay,
             dropout_training=True)
+    if cfg.device_data_bf16:
+        inner = body
+
+        def body(state, batch):
+            batch = {**batch,
+                     "image": batch["image"].astype(jnp.float32)}
+            return inner(state, batch)
 
     C = cfg.chunk_steps or max(cfg.log_interval, 200)
     L = cfg.log_interval
