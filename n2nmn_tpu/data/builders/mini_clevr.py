@@ -72,7 +72,14 @@ FLAG_H, FLAG_W, FLAG_D, BLOCK = 10, 15, 512, 2
 
 
 def render_features_flagship(scene, rng):
-    feat = (rng.randn(FLAG_H, FLAG_W, FLAG_D) * 0.1).astype(np.float32)
+    # semantic channels 0-9 are CLEAN off-object, like render_features:
+    # noise there summed over the 150-cell grid drowns the count heads'
+    # attention-mass sums (first flagship run: _Count families 15-28%
+    # while Exist/Describe hit 99-100%); backbone-like noise lives in
+    # the other 502 channels
+    feat = np.zeros((FLAG_H, FLAG_W, FLAG_D), np.float32)
+    feat[:, :, 10:] = (rng.randn(FLAG_H, FLAG_W, FLAG_D - 10)
+                       * 0.1).astype(np.float32)
     for (r, c), (color, shape) in scene.items():
         rs, cs = r * BLOCK, c * BLOCK
         feat[rs:rs + BLOCK, cs:cs + BLOCK, COLORS.index(color)] = 1.0
