@@ -16,6 +16,11 @@ parser.add_argument("--from_images", action="store_true",
 parser.add_argument("--vgg_weights", type=str, default=None)
 parser.add_argument("--image_H", type=int, default=320)
 parser.add_argument("--image_W", type=int, default=480)
+parser.add_argument("--device_data", action="store_true",
+                    help="stage the whole feature set in HBM and train in "
+                         "jitted chunks (experiments/clevr.py:device_data)")
+parser.add_argument("--device_data_bf16", action="store_true",
+                    help="stage features as bf16 (halves HBM residency)")
 args = parser.parse_args()
 
 import dataclasses
@@ -30,4 +35,7 @@ if args.from_images:
     cfg = dataclasses.replace(cfg, from_images=True,
                               vgg_weights=args.vgg_weights,
                               image_H=args.image_H, image_W=args.image_W)
+if args.device_data or args.device_data_bf16:
+    cfg = dataclasses.replace(cfg, device_data=True,
+                              device_data_bf16=args.device_data_bf16)
 clevr.train(cfg)
