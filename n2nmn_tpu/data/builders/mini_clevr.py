@@ -66,25 +66,50 @@ def render_features(scene, rng):
 # H_FEAT/W_FEAT/D_FEAT) so a model trained on it has flagship-sized
 # tensors end to end. Each semantic cell renders as a BLOCK x BLOCK
 # tile (a one-semantic-cell _Transform shift = BLOCK=2 physical cells,
-# within the k=5 transform conv's +/-2 reach); the remaining rows/cols
-# and the 496 extra channels carry backbone-like noise.
+# within the k=5 transform conv's +/-2 reach).
+#
+# v2 (round 4). The round-3 renderers filled the 502 extra channels with
+# per-image iid noise; that noise is a unique per-image FINGERPRINT, and
+# with one question per image the 512->250 Find conv memorizes
+# fingerprint->answer instead of learning the semantic channels
+# (measured: flag_gt_clean 99.9-100% on count families on TRAIN vs
+# 16-48% on test, while _Scene _Count — the one family whose question
+# text AND executor input are constant across examples, so memorization
+# is impossible — sits at 17.7% even on train;
+# exp_clevr_flag/results/flag_gt_clean/00040000.{trn4k,tst}.txt).
+# No real backbone emits scene-independent noise: VGG pool5 channels are
+# correlated, signal-bearing, deterministic functions of the image. So
+# v2 renders the extra channels as a FIXED random nonnegative projection
+# of the 10 semantic channels (one projection per dataset — the "frozen
+# backbone") plus small sensor noise, and generate() shares each scene
+# across several questions (real CLEVR: ~10 q/image), so a residual
+# fingerprint no longer determines the answer.
 FLAG_H, FLAG_W, FLAG_D, BLOCK = 10, 15, 512, 2
 
 
-def render_features_flagship(scene, rng):
-    # semantic channels 0-9 are CLEAN off-object, like render_features:
-    # noise there summed over the 150-cell grid drowns the count heads'
-    # attention-mass sums (first flagship run: _Count families 15-28%
-    # while Exist/Describe hit 99-100%); backbone-like noise lives in
-    # the other 502 channels
-    feat = np.zeros((FLAG_H, FLAG_W, FLAG_D), np.float32)
-    feat[:, :, 10:] = (rng.randn(FLAG_H, FLAG_W, FLAG_D - 10)
-                       * 0.1).astype(np.float32)
+def make_flagship_projection(seed=1234):
+    """The dataset's frozen 'backbone head': semantic channels ->
+    extra channels, shared by every image in the dataset."""
+    prng = np.random.RandomState(seed)
+    W = (prng.randn(10, FLAG_D - 10) / np.sqrt(10)).astype(np.float32)
+    b = (prng.randn(FLAG_D - 10) * 0.1 - 0.1).astype(np.float32)
+    return W, b
+
+
+def render_features_flagship(scene, rng, proj):
+    W, b = proj
+    sem = np.zeros((FLAG_H, FLAG_W, 10), np.float32)
     for (r, c), (color, shape) in scene.items():
         rs, cs = r * BLOCK, c * BLOCK
-        feat[rs:rs + BLOCK, cs:cs + BLOCK, COLORS.index(color)] = 1.0
-        feat[rs:rs + BLOCK, cs:cs + BLOCK, 5 + SHAPES.index(shape)] = 1.0
-        feat[rs:rs + BLOCK, cs:cs + BLOCK, 9] = 1.0  # occupancy
+        sem[rs:rs + BLOCK, cs:cs + BLOCK, COLORS.index(color)] = 1.0
+        sem[rs:rs + BLOCK, cs:cs + BLOCK, 5 + SHAPES.index(shape)] = 1.0
+        sem[rs:rs + BLOCK, cs:cs + BLOCK, 9] = 1.0  # occupancy
+    feat = np.empty((FLAG_H, FLAG_W, FLAG_D), np.float32)
+    feat[:, :, :10] = sem
+    # ReLU projection: sparse, nonneg, attribute-dependent — like pool5
+    feat[:, :, 10:] = np.maximum(sem @ W + b, 0.0)
+    feat[:, :, 10:] += (rng.randn(FLAG_H, FLAG_W, FLAG_D - 10)
+                        * 0.05).astype(np.float32)
     return feat
 
 
@@ -225,9 +250,15 @@ TEMPLATES = [q_exist, q_count, q_filter_count, q_and_exist, q_or_count,
 
 
 def generate(out_root, num_train=40000, num_val=4000, num_test=4000,
-             seed=0, flagship=False):
+             seed=0, flagship=False, q_per_image=1):
     rng = np.random.RandomState(seed)
-    render = render_features_flagship if flagship else render_features
+    if flagship:
+        proj = make_flagship_projection()
+        render = lambda scene: render_features_flagship(scene, rng, proj)
+        q_per_image = max(q_per_image, 4)  # see renderer note: real
+        # CLEVR has ~10 q/image; sharing breaks fingerprint->answer
+    else:
+        render = lambda scene: render_features(scene, rng)
     os.makedirs(os.path.join(out_root, "data", "imdb"), exist_ok=True)
     feat_dir = os.path.join(out_root, "features")
     os.makedirs(feat_dir, exist_ok=True)
@@ -240,24 +271,33 @@ def generate(out_root, num_train=40000, num_val=4000, num_test=4000,
         records = []
         while len(records) < n:
             scene = sample_scene(rng)
-            tmpl = TEMPLATES[rng.randint(len(TEMPLATES))]
-            result = tmpl(rng, scene)
-            if result is None:
-                continue
-            layout, question, answer = result
-            feats = render(scene, rng)
             name = f"mc{img_count:06d}"
-            img_count += 1
             path = os.path.join(feat_dir, name + ".npy")
-            np.save(path, feats[None])
-            tokens = question.split()
-            vocab.update(tokens)
-            records.append({
-                "image_name": name, "image_path": name + ".png",
-                "feature_path": path, "question_str": question,
-                "question_tokens": tokens,
-                "gt_layout_tokens": layout, "answer": answer,
-            })
+            # draw up to q_per_image distinct questions on this scene
+            # BEFORE rendering, so scenes supporting no template are
+            # skipped without writing a feature file
+            drawn, seen_q = [], set()
+            for _ in range(6 * q_per_image):
+                if len(drawn) >= min(q_per_image, n - len(records)):
+                    break
+                result = TEMPLATES[rng.randint(len(TEMPLATES))](rng, scene)
+                if result is None or result[1] in seen_q:
+                    continue
+                seen_q.add(result[1])
+                drawn.append(result)
+            if not drawn:
+                continue
+            img_count += 1
+            np.save(path, render(scene)[None])
+            for layout, question, answer in drawn:
+                tokens = question.split()
+                vocab.update(tokens)
+                records.append({
+                    "image_name": name, "image_path": name + ".png",
+                    "feature_path": path, "question_str": question,
+                    "question_tokens": tokens,
+                    "gt_layout_tokens": layout, "answer": answer,
+                })
         return np.array(records)
 
     for tag, n in [("trn", num_train), ("val", num_val), ("tst", num_test)]:
@@ -292,7 +332,11 @@ if __name__ == "__main__":
     p.add_argument("--flagship", action="store_true",
                    help="render at the real CLEVR feature geometry "
                         "(10x15x512) — see render_features_flagship")
+    p.add_argument("--q_per_image", type=int, default=1,
+                   help="questions sharing one scene/image (flagship "
+                        "forces >=4)")
     args = p.parse_args()
     generate(args.out_root, num_train=args.num_train,
              num_val=args.num_val, num_test=args.num_test,
-             seed=args.seed, flagship=args.flagship)
+             seed=args.seed, flagship=args.flagship,
+             q_per_image=args.q_per_image)

@@ -32,13 +32,25 @@ def make_mesh(n_dp: Optional[int] = None, n_tp: int = 1, devices=None):
     return Mesh(devices, axis_names=("dp", "tp"))
 
 
-# Parameter paths sharded along tp (regex on '/'-joined path).
-# Everything else is replicated.
+# Parameter paths sharded along tp (regex on '/'-joined path), each with
+# a primary spec and an optional fallback spec tried when the primary's
+# tp dimension doesn't divide the mesh. Everything else is replicated.
+#
+# Answer heads get a row-parallel (contraction-dim, Megatron-style)
+# fallback because the real VQA answer count is 3001 — PRIME, so
+# column-parallel can never divide it; sharding w's input dim instead
+# leaves XLA to insert the psum over the partial products.
 _TP_RULES = [
     # vocab-dim sharding of the big text embedding: [V, E] -> P('tp', None)
-    (re.compile(r"netgen/encoder/embedding/table$"), P("tp", None)),
-    # answer heads: [D, num_choices] -> P(None, 'tp')
-    (re.compile(r"modules/.*/(fc_scores|fc_eltwise)/w$"), P(None, "tp")),
+    (re.compile(r"netgen/encoder/embedding/table$"),
+     P("tp", None), None),
+    # answer heads: [D, num_choices] -> column-parallel P(None, 'tp'),
+    # row-parallel P('tp', None) fallback
+    (re.compile(r"modules/.*/(fc_scores|fc_eltwise)/w$"),
+     P(None, "tp"), P("tp", None)),
+    # question-prior net's answer head [500, num_choices], same treatment
+    (re.compile(r"qpn/fc2/w$"),
+     P(None, "tp"), P("tp", None)),
 ]
 
 
@@ -60,12 +72,16 @@ def param_shardings(params, mesh: Mesh, use_tp: bool = True):
     def leaf_sharding(path, leaf):
         if use_tp and mesh.shape.get("tp", 1) > 1:
             s = _path_str(path)
-            for rule, spec in _TP_RULES:
+            for rule, spec, fallback in _TP_RULES:
                 if rule.search(s):
-                    # only shard when the dimension divides evenly
-                    dim = [i for i, a in enumerate(spec) if a == "tp"][0]
-                    if leaf.shape[dim] % mesh.shape["tp"] == 0:
-                        return NamedSharding(mesh, spec)
+                    # shard on the first spec whose tp dim divides evenly
+                    for candidate in (spec, fallback):
+                        if candidate is None:
+                            continue
+                        dim = [i for i, a in enumerate(candidate)
+                               if a == "tp"][0]
+                        if leaf.shape[dim] % mesh.shape["tp"] == 0:
+                            return NamedSharding(mesh, candidate)
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(leaf_sharding, params)

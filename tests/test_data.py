@@ -38,6 +38,51 @@ def test_tokenize():
         ["is", "there", "a", "red", "cube", "?"]
 
 
+def test_tokenize_contract():
+    # golden cases pinning the format contract (data/text.py docstring):
+    # identical output to re.split(r'(\W+)') + strip + drop-empty
+    cases = {
+        "What's behind the sphere?":
+            ["what", "'", "s", "behind", "the", "sphere", "?"],
+        "  leading and trailing  ": ["leading", "and", "trailing"],
+        "semi-colons; and, commas":
+            ["semi", "-", "colons", ";", "and", ",", "commas"],
+        # interior whitespace inside ONE punctuation run survives
+        "a ? ! b": ["a", "? !", "b"],
+        "UPPER lower 123_mix": ["upper", "lower", "123_mix"],
+        "": [],
+        "???": ["???"],
+    }
+    for sentence, want in cases.items():
+        assert tokenize(sentence) == want, sentence
+    # differential form of the same contract
+    import re
+    for sentence in list(cases) + ["x,y  z;; 7q's", "\"quoted\" words!"]:
+        ref = [t.strip() for t in re.split(r"(\W+)", sentence.lower())
+               if t.strip()]
+        assert tokenize(sentence) == ref, sentence
+
+
+def test_vocab_contract(tmp_path):
+    # vocab round-trip against a shipped vocab file: every word maps to
+    # its line number and back
+    vd = VocabDict(CLEVR_VOCABS["vocab_question_file"])
+    assert vd.num_vocab == len(vd) == len(vd.word_list)
+    for i, w in enumerate(vd.word_list):
+        assert vd.word2idx(w) == i
+        assert vd.idx2word(i) == w
+    # <unk> fallback iff the file defines one
+    p = tmp_path / "v.txt"
+    p.write_text("<unk>\nred\nblue\n")
+    vd_unk = VocabDict(str(p))
+    assert vd_unk.word2idx("zebra") == 0 and "zebra" not in vd_unk
+    assert vd_unk.tokenize_and_index("Red, blue!") == [1, 0, 2, 0]
+    p2 = tmp_path / "nounk.txt"
+    p2.write_text("red\nblue\n")
+    with pytest.raises(ValueError):
+        VocabDict(str(p2)).word2idx("zebra")
+
+
 def test_prune_filter_modules():
     # reference clevr_train/data_reader.py:65-71
     assert prune_filter_modules(
