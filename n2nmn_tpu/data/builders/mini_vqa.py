@@ -98,7 +98,8 @@ def _prop(scene, pos, prop):
 def q_exist(rng, scene):
     w = _attr(rng)
     ans = "yes" if cells_with(scene, w) else "no"
-    return (["_Find", "_Describe"], f"is there a {w} thing", ans)
+    return (["_Find", "_Describe"], f"is there a {w} thing", ans,
+            [w, None])
 
 
 def q_count(rng, scene):
@@ -107,7 +108,7 @@ def q_count(rng, scene):
     # in _Describe like every parsed VQA layout
     w = _attr(rng)
     return (["_Find", "_Describe"], f"how many {w} things are there",
-            str(len(cells_with(scene, w))))
+            str(len(cells_with(scene, w))), [w, None])
 
 
 def q_describe(rng, scene):
@@ -118,21 +119,24 @@ def q_describe(rng, scene):
     if pos is None:
         return None
     return (["_Find", "_Describe"],
-            f"what {prop} is the {w} thing", _prop(scene, pos, prop))
+            f"what {prop} is the {w} thing", _prop(scene, pos, prop),
+            [w, prop])
 
 
 def q_and_exist(rng, scene):
     c, s = COLORS[rng.randint(5)], SHAPES[rng.randint(4)]
     ans = "yes" if cells_with(scene, c) & cells_with(scene, s) else "no"
     return (["_Find", "_Find", "_And", "_Describe"],
-            f"is there a {c} {s} in the picture", ans)
+            f"is there a {c} {s} in the picture", ans,
+            [c, s, None, None])
 
 
 def q_and_count(rng, scene):
     c, s = COLORS[rng.randint(5)], SHAPES[rng.randint(4)]
     n = len(cells_with(scene, c) & cells_with(scene, s))
     return (["_Find", "_Find", "_And", "_Describe"],
-            f"how many {c} {s} things are there", str(n))
+            f"how many {c} {s} things are there", str(n),
+            [c, s, None, None])
 
 
 def q_transform_exist(rng, scene):
@@ -146,7 +150,7 @@ def q_transform_exist(rng, scene):
     others = {p for p in cells_with(scene, value) if p != pos}
     return (["_Find", "_Transform", "_Describe"],
             f"is there another thing with the same {prop} as the {w} "
-            f"thing", "yes" if others else "no")
+            f"thing", "yes" if others else "no", [w, prop, None])
 
 
 def q_transform_describe(rng, scene):
@@ -166,7 +170,8 @@ def q_transform_describe(rng, scene):
     (tgt,) = others
     return (["_Find", "_Transform", "_Describe"],
             f"what {prop1} is the other thing with the same {prop2} as "
-            f"the {w} thing", _prop(scene, tgt, prop1))
+            f"the {w} thing", _prop(scene, tgt, prop1),
+            [w, prop2, prop1])
 
 
 TEMPLATES = [q_exist, q_count, q_describe, q_and_exist, q_and_count,
@@ -227,7 +232,7 @@ def generate(out_root, num_train=30000, num_val=3000, num_test=3000,
             result = tmpl(rng, scene)
             if result is None:
                 continue
-            layout, question, answer = result
+            layout, question, answer, att_words = result
             feats = render_features(scene, rng)
             name = f"mv{img_count:06d}"
             img_count += 1
@@ -235,6 +240,16 @@ def generate(out_root, num_train=30000, num_val=3000, num_test=3000,
             np.save(path, feats[None])
             tokens = question.split()
             vocab.update(tokens)
+            # per-decoder-step gt text-attention spans: the question
+            # word that parameterizes each module, as (t0, t1), or None
+            # (reference util/vqa_train/data_reader.py:25-27 format)
+            gt_txtatt = []
+            for aw in att_words:
+                if aw is None:
+                    gt_txtatt.append(None)
+                else:
+                    i = tokens.index(aw)
+                    gt_txtatt.append((i, i + 1))
             all_answers = annotate(rng, answer)
             # imdb-builder contract: answers outside the vocab map to
             # <unk> (reference exp_vqa/data/build_vqa_imdb.py:66-73)
@@ -247,6 +262,7 @@ def generate(out_root, num_train=30000, num_val=3000, num_test=3000,
                 "all_answers": all_answers,
                 "valid_answers": valid_answers,
                 "gt_layout_tokens": layout,
+                "gt_txtatt": gt_txtatt,
             })
             qid_count += 1
         return np.array(records)

@@ -61,6 +61,11 @@ class VqaConfig:
     log_interval: int = 20
     invalid_expr_loss: float = 0.5
     lambda_entropy: float = 0.005
+    # optional supervision of the decoder's text attention on the
+    # readers' gt_txtatt spans (reference util/vqa_train/
+    # data_reader.py:25-27,133-138 builds them; no shipped reference
+    # driver consumes them — this flag makes them consumable). 0 = off.
+    txtatt_loss_weight: float = 0.0
     seed: int = 0
     imdb_trn: str = "data/imdb/imdb_trainval2014.npy"
     glove_mat_file: str = "data/vocabulary_vqa_glove.npy"
@@ -219,9 +224,11 @@ def train(cfg: VqaConfig, pretrained_model: Optional[str] = None):
         params, tx, jax.random.fold_in(key, 1),
         baseline_init=cfg.invalid_expr_loss if cfg.mode == "rl" else 0.0)
 
+    use_txtatt = cfg.mode == "cloning" and cfg.txtatt_loss_weight > 0
     if cfg.mode == "cloning":
-        train_step = make_cloning_step(model, tx, cfg.weight_decay,
-                                       dropout_training=True)
+        train_step = make_cloning_step(
+            model, tx, cfg.weight_decay, dropout_training=True,
+            txtatt_loss_weight=cfg.txtatt_loss_weight)
     else:
         train_step = make_rl_step(
             model, tx, cfg.weight_decay, cfg.lambda_entropy,
@@ -235,8 +242,10 @@ def train(cfg: VqaConfig, pretrained_model: Optional[str] = None):
         if n_iter >= cfg.max_iter:
             break
         for k in ("image_path", "qid", "qstr", "n_real", "valid_answers",
-                  "all_answers", "binary_label", "gt_txtatt"):
+                  "all_answers", "binary_label"):
             batch.pop(k, None)
+        if not use_txtatt:
+            batch.pop("gt_txtatt", None)
         if not use_gt:
             batch.pop("gt_layout", None)
         state, aux = train_step(state, batch)

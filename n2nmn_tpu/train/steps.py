@@ -80,10 +80,18 @@ def _xent(scores, labels):
 
 
 def cloning_step_body(model, tx, weight_decay: float,
-                      dropout_training: bool = True):
+                      dropout_training: bool = True,
+                      txtatt_loss_weight: float = 0.0):
     """Un-jitted behavioral-cloning step body (state, batch) ->
     (state, aux). batch keys: text_seq [T,N], seq_length [N],
-    image [N,...], gt_layout [Td,N], label [N], weight [N]."""
+    image [N,...], gt_layout [Td,N], label [N], weight [N];
+    optionally gt_txtatt [Td,Te,N] bool when txtatt_loss_weight > 0.
+
+    txtatt_loss_weight wires the VQA readers' ground-truth text-attention
+    spans (reference util/vqa_train/data_reader.py:25-27,133-138 builds
+    gt_txtatt_batch, but no shipped reference driver consumes it) into an
+    optional supervision term: -log of the decoder-attention mass on the
+    gt span, averaged over the decoder steps that have one."""
 
     def loss_fn(params, batch, rng):
         with modules_common.training_trace():
@@ -97,6 +105,16 @@ def cloning_step_body(model, tx, weight_decay: float,
         seq_likelihood_loss = _wmean(-out.log_seq_prob, w)
         total = (seq_likelihood_loss + avg_sample_loss
                  + weight_decay * _l2_for_decay(model, params))
+        txtatt_loss = None
+        if txtatt_loss_weight and "gt_txtatt" in batch:
+            gt = batch["gt_txtatt"].astype(jnp.float32)     # [Td,Te,N]
+            mass = jnp.sum(out.atts * gt, axis=1)           # [Td,N]
+            has_gt = jnp.any(batch["gt_txtatt"], axis=1)    # [Td,N]
+            nll = jnp.where(has_gt, -jnp.log(mass + 1e-8), 0.0)
+            per_q = (jnp.sum(nll, axis=0)
+                     / jnp.maximum(jnp.sum(has_gt, axis=0), 1))
+            txtatt_loss = _wmean(per_q, w)
+            total = total + txtatt_loss_weight * txtatt_loss
         pred = jnp.argmax(out.scores, axis=1)
         acc = _wmean(
             (jnp.logical_and(out.validity, pred == batch["label"]))
@@ -108,6 +126,8 @@ def cloning_step_body(model, tx, weight_decay: float,
             "entropy": -_wmean(out.neg_entropy, w),
             "validity": _wmean(out.validity.astype(jnp.float32), w),
         }
+        if txtatt_loss is not None:
+            aux["txtatt_loss"] = txtatt_loss
         return total, aux
 
     def train_step(state: TrainState, batch):
@@ -125,9 +145,11 @@ def cloning_step_body(model, tx, weight_decay: float,
 
 
 def make_cloning_step(model, tx, weight_decay: float,
-                      dropout_training: bool = True):
+                      dropout_training: bool = True,
+                      txtatt_loss_weight: float = 0.0):
     return jax.jit(cloning_step_body(model, tx, weight_decay,
-                                     dropout_training))
+                                     dropout_training,
+                                     txtatt_loss_weight))
 
 
 def rl_step_body(model, tx, weight_decay: float, lambda_entropy: float,

@@ -94,6 +94,40 @@ def test_cloning_step_reduces_loss():
     assert np.isfinite(losses).all()
 
 
+def test_cloning_step_txtatt_supervision():
+    # optional gt-text-attention loss (reference vqa_train/
+    # data_reader.py:25-27 spans; wired via txtatt_loss_weight)
+    model, grammar = tiny_model(sampling=True)
+    batch = tiny_batch(grammar=grammar)
+    T_dec, T_enc, N = 7, 6, 8
+    rng = np.random.RandomState(3)
+    gt_att = np.zeros((T_dec, T_enc, N), bool)
+    # supervise the first two decoder steps on a random word each
+    for t in range(2):
+        for n in range(N):
+            gt_att[t, rng.randint(T_enc), n] = True
+    batch["gt_txtatt"] = gt_att
+    tx = make_optimizer(1e-2, 10.0)
+    state = create_train_state(model.init(jax.random.PRNGKey(0)), tx,
+                               jax.random.PRNGKey(1))
+    step = make_cloning_step(model, tx, weight_decay=0.0,
+                             dropout_training=False,
+                             txtatt_loss_weight=1.0)
+    att_losses = []
+    for _ in range(20):
+        state, aux = step(state, batch)
+        att_losses.append(float(aux["txtatt_loss"]))
+    assert np.isfinite(att_losses).all()
+    # supervision must actually pull attention onto the gt spans
+    assert att_losses[-1] < att_losses[0]
+    # weight 0 keeps the old aux surface (no txtatt key)
+    step0 = make_cloning_step(model, tx, weight_decay=0.0,
+                              dropout_training=False)
+    _, aux0 = step0(state, {k: v for k, v in batch.items()
+                            if k != "gt_txtatt"})
+    assert "txtatt_loss" not in aux0
+
+
 def test_rl_step_updates_baseline_and_stays_finite():
     # grammar mode guarantees valid layouts -> loss = xent != baseline
     model, grammar = tiny_model(sampling=True, mask_mode="grammar")
