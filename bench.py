@@ -128,6 +128,23 @@ def bench_two_phase_baseline():
     return full
 
 
+def bench_image_baseline():
+    """Reference-faithful image->answer reconstruction: batch-1 VGG
+    extraction dumped to disk (extract_visual_features_vgg_pool5.py:
+    25-48) + the two-phase eval loop over the dump (eval_clevr.py:
+    93-165), extraction amortized over CLEVR's ~10 questions/image.
+    The missing baseline half for from_images_qps."""
+    from __graft_entry__ import entry
+    from n2nmn_tpu.tools.two_phase_baseline import (
+        run_image_two_phase_baseline)
+
+    fn, (params, *_) = entry()
+    model = _flagship_model()
+    return run_image_two_phase_baseline(
+        model, params, work_dir=".bench_cache/image_baseline",
+        num_questions=1024, questions_per_image=10, batch_size=64)
+
+
 def measure_h2d_bandwidth(mb: int = 64):
     """Host->device copy bandwidth of this environment (the axon-tunneled
     chip is far below a local PCIe link; reported so the baseline's
@@ -224,7 +241,8 @@ def bench_from_images():
     model = NMNModel(cfg, base.grammar)
     params = model.init(jax.random.PRNGKey(0))
 
-    n, t_enc = 32, 45
+    n = int(os.environ.get("N2NMN_FROM_IMAGES_BATCH", "32"))
+    t_enc = 45
     key = jax.random.PRNGKey(0)
     text_seq = jax.random.randint(key, (t_enc, n), 0, 82, jnp.int32)
     seq_length = jnp.full((n,), t_enc, jnp.int32)
@@ -233,6 +251,10 @@ def bench_from_images():
 
     if BF16:
         params = _cast_bf16(params)
+        # serve the backbone in bf16 end to end: raw pixels have 8
+        # significant bits, so bf16 images lose nothing, and f32 inputs
+        # against bf16 weights force XLA to upcast conv1
+        images = images.astype(jnp.bfloat16)
 
     @jax.jit
     def fn(params, text_seq, seq_length, images, rng):
@@ -254,6 +276,7 @@ def main():
     baseline = bench_two_phase_baseline()
     train = bench_train_steps()
     img_qps, img_mfu = bench_from_images()
+    img_baseline = bench_image_baseline()
     h2d = measure_h2d_bandwidth()
 
     print(json.dumps({
@@ -295,6 +318,22 @@ def main():
         "train_batch_size": 64,
         "from_images_qps": round(img_qps, 2),
         "from_images_mfu": round(img_mfu, 4),
+        # image->answer north star: fused one-program path (every
+        # question pays a full VGG) vs the reconstructed reference
+        # pipeline (batch-1 extraction dump amortized over ~10
+        # questions/image + two-phase eval) — conservative for us
+        "from_images_vs_baseline": round(
+            img_qps / img_baseline["qps"], 2),
+        "image_baseline_qps": round(img_baseline["qps"], 2),
+        "image_baseline_extract_images_per_s": round(
+            img_baseline["extract_images_per_s"], 2),
+        "image_baseline_eval_qps": round(img_baseline["eval_qps"], 2),
+        "image_baseline_method": (
+            "batch-1 VGG pool5 extraction w/ per-image upload+fetch+"
+            "np.save (extract_visual_features_vgg_pool5.py:25-48), "
+            "amortized over 10 questions/image, + two-phase eval over "
+            "the dump (eval_clevr.py:93-165); device phases XLA, so "
+            "conservative vs TF1+Fold"),
         "dtype": "bfloat16" if BF16 else "float32",
     }))
 

@@ -96,9 +96,9 @@ class NMNServer:
         })
         jax.block_until_ready(self._run(batch)["predictions"])
 
-    def answer_batch(self, text_seq, seq_length, images):
-        """One padded batch. text_seq: [T, n<=B]; images: [n<=B, ...].
-        Returns dict of numpy arrays sliced to n."""
+    def _dispatch(self, text_seq, seq_length, images):
+        """Pad + upload + enqueue ONE batch WITHOUT blocking (JAX async
+        dispatch: the returned arrays are futures). Returns (n, out)."""
         t, n = text_seq.shape
         b = self.batch_size
         assert n <= b, f"batch of {n} exceeds serving batch size {b}"
@@ -113,6 +113,10 @@ class NMNServer:
             "seq_length": np.asarray(seq_length),
             "image": np.asarray(images),
         }))
+        return n, out
+
+    def _collect(self, n, out):
+        """Block on one dispatched batch and slice off the padding."""
         preds = np.asarray(out["predictions"])[:n]
         res = {
             "predictions": preds,
@@ -123,16 +127,36 @@ class NMNServer:
             res["answers"] = [self.answer_words[p] for p in preds]
         return res
 
-    def answer(self, text_seq, seq_length, images):
+    def answer_batch(self, text_seq, seq_length, images):
+        """One padded batch. text_seq: [T, n<=B]; images: [n<=B, ...].
+        Returns dict of numpy arrays sliced to n."""
+        return self._collect(*self._dispatch(text_seq, seq_length, images))
+
+    def answer(self, text_seq, seq_length, images, pipeline_depth=2):
         """Any number of requests; chunks into serving batches. Returns
         the same schema as answer_batch (predictions, validity, tokens,
-        + answers when answer_words is set), concatenated over chunks."""
+        + answers when answer_words is set), concatenated over chunks.
+
+        pipeline_depth keeps that many batches IN FLIGHT (cross-batch
+        pipelining): batch k+1 is uploaded and dispatched before batch
+        k's results are fetched, so the host-side fetch + next upload
+        overlap device compute instead of serializing with it (JAX async
+        dispatch; the reference's two-phase loop serializes everything,
+        exp_clevr/eval_clevr.py:93-165). depth=1 restores the strict
+        dispatch->fetch->dispatch order."""
+        from collections import deque
         t, n = text_seq.shape
+        assert pipeline_depth >= 1
+        inflight: deque = deque()
         outs = []
         for i in range(0, n, self.batch_size):
             j = min(i + self.batch_size, n)
-            outs.append(self.answer_batch(
+            if len(inflight) >= pipeline_depth:
+                outs.append(self._collect(*inflight.popleft()))
+            inflight.append(self._dispatch(
                 text_seq[:, i:j], seq_length[i:j], images[i:j]))
+        while inflight:
+            outs.append(self._collect(*inflight.popleft()))
         res = {
             "predictions": np.concatenate(
                 [o["predictions"] for o in outs]),
@@ -181,6 +205,24 @@ def _demo():
         "p99_ms": round(float(np.percentile(lat, 99)), 2),
         "qps": round(args.batch_size / (np.mean(lat) / 1e3), 1),
     })
+
+    # cross-batch pipelining: the same host-resident request stream
+    # served via answer() at pipeline depth 1 (strict dispatch->fetch
+    # order) vs 2 (batch k+1 uploaded+dispatched before batch k is
+    # fetched) — the depth-2 overlap hides the host fetch/upload legs
+    # behind device compute
+    n_req = (args.num_requests // args.batch_size) * args.batch_size
+    text = rng.randint(0, 82, size=(args.t_enc, n_req)).astype(np.int32)
+    sl = np.full((n_req,), args.t_enc, np.int32)
+    imgs = rng.randn(n_req, *img_shape).astype(np.float32)
+    for depth in (1, 2, 3):
+        server.answer(text[:, :args.batch_size], sl[:args.batch_size],
+                      imgs[:args.batch_size], pipeline_depth=depth)
+        t0 = time.perf_counter()
+        out = server.answer(text, sl, imgs, pipeline_depth=depth)
+        dt = time.perf_counter() - t0
+        print({"pipeline_depth": depth, "stream_qps": round(n_req / dt, 1),
+               "stream_requests": n_req})
 
 
 if __name__ == "__main__":

@@ -200,3 +200,82 @@ def run_two_phase_baseline(model, params, feature_dir: str,
         "batches": n_batches,
         "batch_size": batch_size,
     }
+
+
+def run_image_two_phase_baseline(model, params, work_dir: str,
+                                 num_questions: int = 1024,
+                                 questions_per_image: int = 10,
+                                 batch_size: int = 64,
+                                 image_hw=(320, 480),
+                                 T_enc: int = 45,
+                                 num_vocab_txt: int = 82,
+                                 seed: int = 0):
+    """Reference-faithful IMAGE->ANSWER pipeline reconstruction: the
+    missing baseline half for BENCH's from_images_qps.
+
+    The reference never runs image->answer in one system; it is two
+    offline stages:
+
+      stage 0: per-image feature extraction at BATCH SIZE 1 — a
+               [1,320,480,3] placeholder fed through vgg_pool5, one
+               sess.run per image, each pool5 np.save()d to disk
+               (exp_clevr/data/extract_visual_features_vgg_pool5.py:
+               25-48; the 29 GB dump, README.md:57)
+      stage 1: the two-phase eval loop re-np.load()ing those files per
+               question (eval_clevr.py:93-165 via the data reader).
+
+    This reconstructs both stages with our (faster) JAX pieces: a
+    batch-1 jitted f32 VGG program with per-image host->device upload,
+    feature fetch, and np.save; then run_two_phase_baseline() over the
+    dump. questions_per_image amortizes stage 0 the way CLEVR does
+    (~700k questions / 70k images ~= 10, reference README.md:46-57).
+    Returns composite questions/sec with the per-stage split."""
+    from n2nmn_tpu.models import backbones
+
+    os.makedirs(work_dir, exist_ok=True)
+    num_images = max(1, num_questions // questions_per_image)
+    rng_np = np.random.RandomState(seed)
+    H, W = image_hw
+
+    vgg_params = backbones.init_vgg16(jax.random.PRNGKey(seed))
+    extract = jax.jit(lambda p, im: backbones.vgg16_pool5(p, im))
+
+    # stage 0: batch-1 extraction, one upload + one fetch + one np.save
+    # per image (reference extract_image_pool5, :33-37)
+    im0 = rng_np.rand(1, H, W, 3).astype(np.float32) * 255.0
+    jax.block_until_ready(extract(vgg_params, im0))   # compile
+    feat_paths = []
+    t0 = time.perf_counter()
+    for i in range(num_images):
+        im = rng_np.rand(1, H, W, 3).astype(np.float32) * 255.0
+        pool5 = np.asarray(extract(vgg_params, im))
+        p = os.path.join(work_dir, f"im{i:05d}.npy")
+        np.save(p, pool5)
+        feat_paths.append(p)
+    t_extract = time.perf_counter() - t0
+
+    # stage 1: the standard two-phase eval over the dump; per-question
+    # feature files alias images round-robin (questions_per_image)
+    q_dir = os.path.join(work_dir, "per_question")
+    os.makedirs(q_dir, exist_ok=True)
+    for q in range(num_questions):
+        dst = os.path.join(q_dir, f"q{q:05d}.npy")
+        if not (os.path.islink(dst) or os.path.exists(dst)):
+            os.symlink(os.path.abspath(feat_paths[q % num_images]), dst)
+    eval_res = run_two_phase_baseline(
+        model, params, feature_dir=q_dir, num_questions=num_questions,
+        batch_size=batch_size, T_enc=T_enc, num_vocab_txt=num_vocab_txt,
+        seed=seed)
+
+    total_s = t_extract + eval_res["total_s"]
+    return {
+        "qps": num_questions / total_s,
+        "total_s": total_s,
+        "extract_s": t_extract,
+        "extract_images_per_s": num_images / t_extract,
+        "num_images": num_images,
+        "questions_per_image": questions_per_image,
+        "eval_qps": eval_res["qps"],
+        "eval_total_s": eval_res["total_s"],
+        "batch_size": batch_size,
+    }

@@ -82,6 +82,26 @@ def test_answer_chunks_many_requests():
     np.testing.assert_array_equal(out["predictions"], ref["predictions"])
 
 
+def test_answer_pipelined_matches_sequential():
+    # cross-batch pipelining (dispatch-ahead) must be a pure scheduling
+    # change: identical outputs at every depth
+    model, params = _tiny_model()
+    server = NMNServer(model, params, batch_size=4)
+    rng = np.random.RandomState(2)
+    t_enc, n = 6, 19          # 4 full batches + partial of 3
+    text = rng.randint(0, 12, size=(t_enc, n)).astype(np.int32)
+    sl = np.full((n,), t_enc, np.int32)
+    imgs = rng.randn(n, 3, 3, 6).astype(np.float32)
+
+    ref = server.answer(text, sl, imgs, pipeline_depth=1)
+    for depth in (2, 3, 8):
+        out = server.answer(text, sl, imgs, pipeline_depth=depth)
+        np.testing.assert_array_equal(out["predictions"],
+                                      ref["predictions"])
+        np.testing.assert_array_equal(out["tokens"], ref["tokens"])
+        np.testing.assert_array_equal(out["validity"], ref["validity"])
+
+
 def test_serving_quant_modes_match(monkeypatch):
     """The full serving-mode stack (int8 grids + int8 enc tensors +
     early-exit decode) through NMNServer must answer identically to the
