@@ -90,6 +90,11 @@ class ClevrConfig:
     # is unchanged; inputs carry bf16 rounding (~the serving mode's,
     # which is equivalence-tested on trained snapshots)
     device_data_bf16: bool = False
+    # stage each IMAGE once (shared table + per-question gather keys)
+    # instead of per question — 4-10x HBM saving when several questions
+    # share an image (real CLEVR ~10/image; flagship synthetic 4).
+    # Auto-disables when nothing is shared.
+    device_data_dedup: bool = True
     image_H: int = 320
     image_W: int = 480
     # converted VGG-16 weights (.npz from models/vgg_convert.py, or a
@@ -206,10 +211,22 @@ def _train_device_resident(cfg, model, grammar, imdb, state, tx, use_gt,
                           load_gt_layout=use_gt or None,
                           shuffle=True, one_pass=True)
     time_major = ("text_seq", "gt_layout")
-    staged = []
+    # image dedup: datasets with several questions per image (real CLEVR
+    # ~10, flagship synthetic 4) stage each image ONCE in a shared table
+    # and per-question int32 keys gather it on-device — 4-10x less HBM
+    # residency than per-question staging (40k flagship questions: 12.3
+    # GB f32 -> 3.1 GB). Keys come from the reader's image_path column;
+    # falls back to per-question staging when paths are missing or when
+    # there is nothing to share.
+    dedup = cfg.device_data_dedup
+    uid, uniq_images = {}, []
+    staged, first_paths = [], None
     for batch in sreader.batches():
         n = batch.pop("n_real", None)
-        batch.pop("image_path", None)
+        paths = batch.pop("image_path", None)
+        if dedup and (paths is None or any(p is None for p in paths)):
+            assert not staged, "image_path vanished mid-epoch"
+            dedup = False
         if not use_gt:
             batch.pop("gt_layout", None)
         N = batch["seq_length"].shape[0]
@@ -219,20 +236,49 @@ def _train_device_resident(cfg, model, grammar, imdb, state, tx, use_gt,
             # real questions repeated, as an epoch wrap would)
             first = staged[0]
             for k, v in batch.items():
+                if k == "img_idx":
+                    continue
                 ax = 1 if k in time_major else 0
                 keep = np.take(v, np.arange(n), axis=ax)
                 fill = np.take(first[k], np.arange(N - n), axis=ax)
                 batch[k] = np.concatenate([keep, fill], axis=ax)
+            if dedup:
+                paths = list(paths[:n]) + list(first_paths[:N - n])
+        if dedup:
+            img = np.asarray(batch.pop("image"))
+            idx = np.empty((N,), np.int32)
+            for i, p in enumerate(paths):
+                if p not in uid:
+                    uid[p] = len(uniq_images)
+                    uniq_images.append(img[i])
+                idx[i] = uid[p]
+            batch["img_idx"] = idx
+        if first_paths is None and paths is not None:
+            first_paths = list(paths)
         staged.append({k: np.asarray(v) for k, v in batch.items()})
+    if dedup and len(uniq_images) > 0.9 * len(staged) * N:
+        # nothing shared: fold the table back into per-question rows
+        # (identical memory, avoids the pointless gather)
+        table = np.stack(uniq_images)
+        for b in staged:
+            b["image"] = table[b.pop("img_idx")]
+        uniq_images, dedup = [], False
     stacked = {k: np.stack([b[k] for b in staged]) for k in staged[0]}
-    if cfg.device_data_bf16:
+    shared = ({"images_unique": np.stack(uniq_images)} if dedup else None)
+    f_dtype = jnp.bfloat16 if cfg.device_data_bf16 else jnp.float32
+    if dedup:
+        shared["images_unique"] = jnp.asarray(shared["images_unique"],
+                                              f_dtype)
+        shared = jax.device_put(shared)
+    elif cfg.device_data_bf16:
         stacked["image"] = jnp.asarray(stacked["image"], jnp.bfloat16)
     device_data = jax.device_put(stacked)
     B = len(staged)
-    gb = sum(np.asarray(v).nbytes if not hasattr(v, "nbytes") else v.nbytes
-             for v in device_data.values()) / 1e9
-    print(f"device-resident training: {B} batches staged ({gb:.1f} GB)",
-          flush=True)
+    gb = sum(v.nbytes for v in device_data.values()) / 1e9
+    gb += sum(v.nbytes for v in (shared or {}).values()) / 1e9
+    print(f"device-resident training: {B} batches staged ({gb:.1f} GB"
+          + (f", {len(uniq_images)} unique images" if dedup else "")
+          + ")", flush=True)
 
     if cfg.mode == "cloning":
         body = cloning_step_body(model, tx, cfg.weight_decay,
@@ -242,24 +288,28 @@ def _train_device_resident(cfg, model, grammar, imdb, state, tx, use_gt,
             model, tx, cfg.weight_decay, cfg.lambda_entropy,
             cfg.invalid_expr_loss, cfg.baseline_decay,
             dropout_training=True)
-    if cfg.device_data_bf16:
-        inner = body
+    inner = body
 
-        def body(state, batch):
-            batch = {**batch,
-                     "image": batch["image"].astype(jnp.float32)}
-            return inner(state, batch)
+    def body(state, batch):
+        batch = dict(batch)
+        if "images_unique" in batch:
+            batch["image"] = batch.pop("images_unique")[
+                batch.pop("img_idx")]
+        batch["image"] = batch["image"].astype(jnp.float32)
+        return inner(state, batch)
 
     C = cfg.chunk_steps or max(cfg.log_interval, 200)
     L = cfg.log_interval
-    chunk = make_chunked_trainer(body, device_data, B, C)
+    chunk = make_chunked_trainer(body, device_data, B, C,
+                                 shared_data=shared)
     chunk_last = None
     n_iter = 0
     while n_iter < cfg.max_iter:
         k = min(C, cfg.max_iter - n_iter)
         if k < C:
             if chunk_last is None:
-                chunk_last = make_chunked_trainer(body, device_data, B, k)
+                chunk_last = make_chunked_trainer(body, device_data, B, k,
+                                                  shared_data=shared)
             state, auxs = chunk_last(state, jnp.asarray(n_iter % B))
         else:
             state, auxs = chunk(state, jnp.asarray(n_iter % B))

@@ -217,7 +217,7 @@ def make_rl_step(model, tx, weight_decay: float, lambda_entropy: float,
 
 
 def make_chunked_trainer(body, data_on_device, num_batches: int,
-                         steps_per_call: int):
+                         steps_per_call: int, shared_data=None):
     """Device-resident training driver: the whole (small) dataset lives on
     device as stacked per-batch arrays [B, ...]; one jitted call scans
     ``steps_per_call`` optimizer steps, indexing batch (start+k) % B —
@@ -230,21 +230,25 @@ def make_chunked_trainer(body, data_on_device, num_batches: int,
     The data is threaded through jit as an ARGUMENT (closing over large
     device arrays would inline them as MLIR constants — lowering then
     serializes the whole dataset).
+    shared_data: optional dict of arrays with NO batch axis, merged into
+    every step's batch unindexed (e.g. a deduplicated image table that
+    per-question integer keys gather from — datasets with several
+    questions per image stage each image once instead of per question).
     Returns fn(state, start_idx) -> (state, stacked aux [K])."""
 
     @jax.jit
-    def run(state, start_idx, data):
+    def run(state, start_idx, data, shared):
         def step(state, k):
             idx = jax.lax.rem(start_idx + k, num_batches)
             batch = jax.tree_util.tree_map(
                 lambda x: jax.lax.dynamic_index_in_dim(
                     x, idx, axis=0, keepdims=False), data)
-            return body(state, batch)
+            return body(state, {**batch, **shared})
 
         return jax.lax.scan(step, state, jnp.arange(steps_per_call))
 
     def runner(state, start_idx):
-        return run(state, start_idx, data_on_device)
+        return run(state, start_idx, data_on_device, shared_data or {})
 
     return runner
 

@@ -306,3 +306,27 @@ def test_clevr_device_resident_trainer(tmp_path):
     assert os.path.exists(
         os.path.join(root, "tfmodel", "dd", "00000004.npz"))
     assert os.path.exists(os.path.join(root, "tb", "dd.jsonl"))
+
+
+def test_clevr_device_resident_dedup_matches_per_question(tmp_path):
+    """cfg.device_data_dedup: with several questions per image, images
+    stage ONCE in a shared table gathered by per-question keys — the
+    trained state must be IDENTICAL to per-question staging (pure
+    memory-layout change)."""
+    import dataclasses
+    from n2nmn_tpu.data.builders import mini_clevr
+    from n2nmn_tpu.experiments import clevr
+
+    root = str(tmp_path)
+    mini_clevr.generate(root, num_train=96, num_val=16, num_test=16,
+                        seed=0, q_per_image=4)
+    states = {}
+    for dedup in (True, False):
+        cfg = clevr.ClevrConfig(
+            exp_name=f"dd_{dedup}", root=root, max_iter=4,
+            log_interval=2, snapshot_interval=4, N=16,
+            device_data=True, device_data_dedup=dedup)
+        states[dedup] = clevr.train(cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(states[True].params),
+                    jax.tree_util.tree_leaves(states[False].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
