@@ -102,6 +102,32 @@ def test_answer_pipelined_matches_sequential():
         np.testing.assert_array_equal(out["validity"], ref["validity"])
 
 
+def test_software_pipelined_eval_matches_fused():
+    # decode(k+1)+execute(k) in one program must answer identically to
+    # the standard fused per-batch program
+    from n2nmn_tpu.tools.pipelined_eval import run_pipelined
+    from n2nmn_tpu.train.steps import make_eval_step
+
+    model, params = _tiny_model()
+    rng = np.random.RandomState(3)
+    jrng = jax.random.PRNGKey(0)
+    t_enc, n = 6, 8
+    batches = [(jnp.asarray(rng.randint(0, 12, size=(t_enc, n)),
+                            jnp.int32),
+                jnp.full((n,), t_enc, jnp.int32),
+                jnp.asarray(rng.randn(n, 3, 3, 6), jnp.float32))
+               for _ in range(5)]
+    outs = run_pipelined(model, params, batches, jrng)
+    eval_step = make_eval_step(model)
+    for (text, sl, img), (preds, validity) in zip(batches, outs):
+        ref = eval_step(params, {"text_seq": text, "seq_length": sl,
+                                 "image": img}, jrng)
+        np.testing.assert_array_equal(np.asarray(preds),
+                                      np.asarray(ref["predictions"]))
+        np.testing.assert_array_equal(np.asarray(validity),
+                                      np.asarray(ref["validity"]))
+
+
 def test_serving_quant_modes_match(monkeypatch):
     """The full serving-mode stack (int8 grids + int8 enc tensors +
     early-exit decode) through NMNServer must answer identically to the
