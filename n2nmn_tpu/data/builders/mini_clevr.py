@@ -81,9 +81,16 @@ def render_features(scene, rng):
 # correlated, signal-bearing, deterministic functions of the image. So
 # v2 renders the extra channels as a FIXED random nonnegative projection
 # of the 10 semantic channels (one projection per dataset — the "frozen
-# backbone") plus small sensor noise, and generate() shares each scene
-# across several questions (real CLEVR: ~10 q/image), so a residual
-# fingerprint no longer determines the answer.
+# backbone"), and generate() shares each scene across several questions
+# (real CLEVR: ~10 q/image), so an image fingerprint no longer
+# determines the answer.
+#
+# v2.1: the v2 renderer still added 0.05-sigma per-image sensor noise;
+# scene sharing blocks image->answer shortcuts, but (image-fingerprint x
+# question)->answer memorization remained expressible and seed-
+# dependently won the race on some families (seed 2: count families 20-
+# 46% test at 90% train). Real pool5 features carry NO per-image noise —
+# they are deterministic of the image — so v2.1 drops it entirely.
 FLAG_H, FLAG_W, FLAG_D, BLOCK = 10, 15, 512, 2
 
 
@@ -106,10 +113,9 @@ def render_features_flagship(scene, rng, proj):
         sem[rs:rs + BLOCK, cs:cs + BLOCK, 9] = 1.0  # occupancy
     feat = np.empty((FLAG_H, FLAG_W, FLAG_D), np.float32)
     feat[:, :, :10] = sem
-    # ReLU projection: sparse, nonneg, attribute-dependent — like pool5
+    # ReLU projection: sparse, nonneg, attribute-dependent — like pool5;
+    # deliberately NO per-image noise (v2.1 note above)
     feat[:, :, 10:] = np.maximum(sem @ W + b, 0.0)
-    feat[:, :, 10:] += (rng.randn(FLAG_H, FLAG_W, FLAG_D - 10)
-                        * 0.05).astype(np.float32)
     return feat
 
 
