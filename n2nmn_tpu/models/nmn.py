@@ -141,15 +141,39 @@ class NMNModel:
               use_gt_layout: bool = False,
               deterministic: bool = True) -> NMNOutput:
         """image_input: raw images [N,30,30,3] for SHAPES (in_graph_cnn) or
-        a precomputed feature grid [N, H, W, D] otherwise."""
+        a precomputed feature grid [N, H, W, D] otherwise.
+
+        apply = decode_phase ∘ execute_phase. The split is public so
+        serving can software-pipeline across batches (decode batch k+1
+        and execute batch k inside ONE program —
+        tools/pipelined_eval.py); both phases in one call is the fused
+        program every trainer/eval uses."""
+        net_out, qpn_rng = self.decode_phase(
+            params, text_seq, seq_length, rng, gt_layout=gt_layout,
+            use_gt_layout=use_gt_layout, deterministic=deterministic)
+        return self.execute_phase(params, net_out, image_input, qpn_rng,
+                                  deterministic=deterministic)
+
+    def decode_phase(self, params, text_seq, seq_length, rng,
+                     gt_layout: Optional[jnp.ndarray] = None,
+                     use_gt_layout: bool = False,
+                     deterministic: bool = True):
+        """Question -> layout tokens (+ the decode-side tensors the
+        executor and qpn consume). Returns (NetgenOutput, qpn_rng)."""
         cfg = self.cfg
         rng, net_rng, qpn_rng = jax.random.split(rng, 3)
-
         net_out = run_netgen(
             params["netgen"], cfg.netgen, self.grammar_arrays,
             text_seq, seq_length, net_rng,
             gt_layout=gt_layout, use_gt_layout=use_gt_layout,
             deterministic=deterministic)
+        return net_out, qpn_rng
+
+    def execute_phase(self, params, net_out, image_input, qpn_rng,
+                      deterministic: bool = True) -> NMNOutput:
+        """Backbone (if in-graph) + padded-stack module execution of
+        net_out.tokens + qpn logit add."""
+        cfg = self.cfg
 
         if cfg.in_graph_cnn:
             image_feat = backbones.shapes_convnet(params["convnet"],

@@ -29,63 +29,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from n2nmn_tpu.layout.executor import execute_layout
-from n2nmn_tpu.models.netgen import run_netgen
-
 
 def make_pipeline_fns(model):
-    """(prologue, step, epilogue) jitted fns over half-batches.
+    """(prologue, step, epilogue) jitted fns over half-batches, built on
+    the model's official phase split (NMNModel.decode_phase /
+    execute_phase — qpn, in-graph backbones, and the fused-executor gate
+    all included).
 
-    step(params, dec_in, exec_in, rng) runs decode(batch k+1) AND
-    execute(batch k) in one program; exec_in carries the previous call's
-    decode outputs as device arrays (never fetched to host)."""
-    cfg = model.cfg
-
-    def _decode(params, text_seq, seq_length, rng):
-        out = run_netgen(params["netgen"], cfg.netgen,
-                         model.grammar_arrays, text_seq, seq_length,
-                         rng, deterministic=True)
-        return out.tokens, out.word_vecs
-
-    def _execute(params, tokens, word_vecs, image_feat):
-        mod_dtype = jax.tree_util.tree_leaves(params["modules"])[0].dtype
-        if (image_feat.dtype != mod_dtype
-                and jnp.issubdtype(image_feat.dtype, jnp.floating)):
-            image_feat = image_feat.astype(mod_dtype)
-        if word_vecs.dtype != mod_dtype:
-            word_vecs = word_vecs.astype(mod_dtype)
-        pre_static, pre_step = model.lib.precompute(
-            params["modules"], image_feat, word_vecs)
-        att_b, ans_b = model.lib.make_branches(params["modules"])
-        scores, validity = execute_layout(
-            tokens, model.tables, att_b, ans_b, pre_static, pre_step,
-            hw=cfg.H_feat * cfg.W_feat, num_choices=cfg.num_choices,
-            stack_size=cfg.netgen.T_decoder)
-        return jnp.argmax(scores, axis=1), validity
+    step(...) runs decode(batch k+1) AND execute(batch k) in one
+    program; the carried decode outputs stay device arrays (never
+    fetched to host)."""
 
     @jax.jit
     def prologue(params, text_seq, seq_length, rng):
-        return _decode(params, text_seq, seq_length, rng)
+        return model.decode_phase(params, text_seq, seq_length, rng)
 
     @jax.jit
-    def step(params, text_seq, seq_length, rng, tokens, word_vecs,
-             image_feat):
+    def step(params, text_seq, seq_length, rng, net_out, qpn_rng,
+             image_input):
         # decode(k+1) and execute(k) share no data -> XLA may interleave
-        preds, validity = _execute(params, tokens, word_vecs, image_feat)
-        next_tokens, next_word_vecs = _decode(params, text_seq,
-                                              seq_length, rng)
-        return (next_tokens, next_word_vecs), (preds, validity)
+        out = model.execute_phase(params, net_out, image_input, qpn_rng)
+        carry = model.decode_phase(params, text_seq, seq_length, rng)
+        return carry, (jnp.argmax(out.scores, axis=1), out.validity,
+                       out.tokens)
 
     @jax.jit
-    def epilogue(params, tokens, word_vecs, image_feat):
-        return _execute(params, tokens, word_vecs, image_feat)
+    def epilogue(params, net_out, qpn_rng, image_input):
+        out = model.execute_phase(params, net_out, image_input, qpn_rng)
+        return (jnp.argmax(out.scores, axis=1), out.validity, out.tokens)
 
     return prologue, step, epilogue
 
 
 def run_pipelined(model, params, batches, rng):
-    """batches: list of (text_seq, seq_length, image_feat) device tuples.
-    Returns list of (predictions, validity) device pairs."""
+    """batches: list of (text_seq, seq_length, image_input) device
+    tuples. Returns a list of (predictions, validity, tokens) device
+    triples, one per batch."""
     prologue, step, epilogue = make_pipeline_fns(model)
     outs = []
     text, sl, img = batches[0]

@@ -39,7 +39,8 @@ class NMNServer:
     """
 
     def __init__(self, model, params, batch_size=64, answer_words=None,
-                 mesh=None, use_tp=True, early_exit=False):
+                 mesh=None, use_tp=True, early_exit=False,
+                 software_pipeline=False):
         """mesh: optional jax.sharding.Mesh for multi-chip serving — the
         batch shards along its 'dp' axis and the big embedding/answer
         matrices along 'tp' (parallel/mesh.py rules); XLA inserts the
@@ -66,6 +67,16 @@ class NMNServer:
         else:
             self.params = params
         self.early_exit = early_exit
+        # software pipelining: decode batch k+1 and execute batch k in
+        # ONE program (tools/pipelined_eval.py) so XLA overlaps the
+        # bandwidth-bound executor streams with the latency-bound decode
+        # chain; answer() composes it with dispatch-ahead
+        self.software_pipeline = software_pipeline
+        if software_pipeline:
+            assert not early_exit, \
+                "software_pipeline composes with the scan decode only"
+            from n2nmn_tpu.tools.pipelined_eval import make_pipeline_fns
+            self._pipe = make_pipeline_fns(model)
         self._eval_step = make_eval_step(model)
         self._rng = jax.random.PRNGKey(0)
 
@@ -143,9 +154,16 @@ class NMNServer:
         overlap device compute instead of serializing with it (JAX async
         dispatch; the reference's two-phase loop serializes everything,
         exp_clevr/eval_clevr.py:93-165). depth=1 restores the strict
-        dispatch->fetch->dispatch order."""
+        dispatch->fetch->dispatch order.
+
+        With software_pipeline=True each dispatched program additionally
+        executes batch k while decoding batch k+1 (device-side
+        overlap)."""
         from collections import deque
         t, n = text_seq.shape
+        if self.software_pipeline:
+            return self._answer_software_pipelined(text_seq, seq_length,
+                                                   images)
         assert pipeline_depth >= 1
         inflight: deque = deque()
         outs = []
@@ -165,6 +183,49 @@ class NMNServer:
         }
         if self.answer_words is not None:
             res["answers"] = [a for o in outs for a in o["answers"]]
+        return res
+
+    def _answer_software_pipelined(self, text_seq, seq_length, images):
+        """answer() body for software_pipeline=True: pad each chunk,
+        then stream prologue/step/epilogue programs — execute(k) and
+        decode(k+1) share each step program; uploads and fetches ride
+        async dispatch."""
+        prologue, step, epilogue = self._pipe
+        t, n = text_seq.shape
+        b = self.batch_size
+        chunks, carry, img_prev, outs = [], None, None, []
+        for i in range(0, n, b):
+            j = min(i + b, n)
+            text, sl, img = (text_seq[:, i:j], seq_length[i:j],
+                             images[i:j])
+            if j - i < b:
+                text = np.pad(text, ((0, 0), (0, b - (j - i))))
+                sl = np.pad(sl, (0, b - (j - i)), constant_values=1)
+                img = np.pad(img, ((0, b - (j - i)),)
+                             + ((0, 0),) * (img.ndim - 1))
+            text, sl, img = (jnp.asarray(text), jnp.asarray(sl),
+                             jnp.asarray(img))
+            chunks.append(j - i)
+            if carry is None:
+                carry = prologue(self.params, text, sl, self._rng)
+            else:
+                carry, out = step(self.params, text, sl, self._rng,
+                                  *carry, img_prev)
+                outs.append(out)
+            img_prev = img
+        outs.append(epilogue(self.params, *carry, img_prev))
+        res = {
+            "predictions": np.concatenate(
+                [np.asarray(o[0])[:k] for o, k in zip(outs, chunks)]),
+            "validity": np.concatenate(
+                [np.asarray(o[1])[:k] for o, k in zip(outs, chunks)]),
+            "tokens": np.concatenate(
+                [np.asarray(o[2])[:, :k] for o, k in zip(outs, chunks)],
+                axis=1),
+        }
+        if self.answer_words is not None:
+            res["answers"] = [self.answer_words[p]
+                              for p in res["predictions"]]
         return res
 
 

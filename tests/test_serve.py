@@ -119,13 +119,31 @@ def test_software_pipelined_eval_matches_fused():
                for _ in range(5)]
     outs = run_pipelined(model, params, batches, jrng)
     eval_step = make_eval_step(model)
-    for (text, sl, img), (preds, validity) in zip(batches, outs):
+    for (text, sl, img), (preds, validity, tokens) in zip(batches, outs):
         ref = eval_step(params, {"text_seq": text, "seq_length": sl,
                                  "image": img}, jrng)
         np.testing.assert_array_equal(np.asarray(preds),
                                       np.asarray(ref["predictions"]))
         np.testing.assert_array_equal(np.asarray(validity),
                                       np.asarray(ref["validity"]))
+        np.testing.assert_array_equal(np.asarray(tokens),
+                                      np.asarray(ref["tokens"]))
+
+
+def test_server_software_pipeline_matches():
+    model, params = _tiny_model()
+    base = NMNServer(model, params, batch_size=4)
+    pipe = NMNServer(model, params, batch_size=4, software_pipeline=True)
+    rng = np.random.RandomState(4)
+    t_enc, n = 6, 15          # 3 full batches + partial of 3
+    text = rng.randint(0, 12, size=(t_enc, n)).astype(np.int32)
+    sl = np.full((n,), t_enc, np.int32)
+    imgs = rng.randn(n, 3, 3, 6).astype(np.float32)
+    ref = base.answer(text, sl, imgs)
+    out = pipe.answer(text, sl, imgs)
+    np.testing.assert_array_equal(out["predictions"], ref["predictions"])
+    np.testing.assert_array_equal(out["validity"], ref["validity"])
+    np.testing.assert_array_equal(out["tokens"], ref["tokens"])
 
 
 def test_serving_quant_modes_match(monkeypatch):
