@@ -139,9 +139,18 @@ class NMNModel:
     def apply(self, params, text_seq, seq_length, image_input, rng,
               gt_layout: Optional[jnp.ndarray] = None,
               use_gt_layout: bool = False,
-              deterministic: bool = True) -> NMNOutput:
+              deterministic: bool = True,
+              image_idx: Optional[jnp.ndarray] = None) -> NMNOutput:
         """image_input: raw images [N,30,30,3] for SHAPES (in_graph_cnn) or
         a precomputed feature grid [N, H, W, D] otherwise.
+
+        image_idx: optional [N] int32 question->image indirection. When
+        given, image_input holds M UNIQUE images/grids and each
+        question's grid is gathered after the backbone — so an in-graph
+        backbone (VGG/ResNet) runs once per unique image instead of once
+        per question (CLEVR averages ~10 questions/image; the reference's
+        offline dump gets this amortization for free by materializing
+        features on disk, extract_visual_features_vgg_pool5.py:25-48).
 
         apply = decode_phase ∘ execute_phase. The split is public so
         serving can software-pipeline across batches (decode batch k+1
@@ -152,7 +161,8 @@ class NMNModel:
             params, text_seq, seq_length, rng, gt_layout=gt_layout,
             use_gt_layout=use_gt_layout, deterministic=deterministic)
         return self.execute_phase(params, net_out, image_input, qpn_rng,
-                                  deterministic=deterministic)
+                                  deterministic=deterministic,
+                                  image_idx=image_idx)
 
     def decode_phase(self, params, text_seq, seq_length, rng,
                      gt_layout: Optional[jnp.ndarray] = None,
@@ -170,9 +180,13 @@ class NMNModel:
         return net_out, qpn_rng
 
     def execute_phase(self, params, net_out, image_input, qpn_rng,
-                      deterministic: bool = True) -> NMNOutput:
+                      deterministic: bool = True,
+                      image_idx: Optional[jnp.ndarray] = None) -> NMNOutput:
         """Backbone (if in-graph) + padded-stack module execution of
-        net_out.tokens + qpn logit add."""
+        net_out.tokens + qpn logit add.
+
+        image_idx (see apply): backbone runs on the M unique images, the
+        [M,H,W,D] grids are gathered to [N,H,W,D] per question."""
         cfg = self.cfg
 
         if cfg.in_graph_cnn:
@@ -190,6 +204,12 @@ class NMNModel:
                 image_feat = jax.lax.stop_gradient(image_feat)
         else:
             image_feat = image_input
+        if image_idx is not None:
+            # question->image gather AFTER the backbone: the expensive
+            # conv stack ran on unique images only; the gather itself is
+            # one [N,H,W,D] HBM materialization (~300 KB/question bf16
+            # at CLEVR geometry), trivial next to a 150-GFLOP VGG pass
+            image_feat = jnp.take(image_feat, image_idx, axis=0)
         if cfg.reduce_visfeat_dim:
             image_feat = apply_1x1_conv(params["reduce_visfeat"], image_feat)
 

@@ -55,6 +55,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, nargs="+", default=[16, 32, 64])
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--questions_per_image", type=int, default=10,
+                   help="dedup variant: M unique images x this many "
+                        "questions via the image_idx gather (CLEVR "
+                        "averages ~10)")
     p.add_argument("--f32", action="store_true")
     p.add_argument("--trace_dir", default=None)
     p.add_argument("--out", default=None)
@@ -77,6 +81,13 @@ def main():
     def fused(params, text_seq, seq_length, images, rng):
         out = model.apply(params, text_seq, seq_length, images, rng,
                           use_gt_layout=False, deterministic=True)
+        return out.scores, out.tokens, out.validity
+
+    @jax.jit
+    def fused_dedup(params, text_seq, seq_length, images, image_idx, rng):
+        out = model.apply(params, text_seq, seq_length, images, rng,
+                          use_gt_layout=False, deterministic=True,
+                          image_idx=image_idx)
         return out.scores, out.tokens, out.validity
 
     @jax.jit
@@ -110,6 +121,15 @@ def main():
                          args.iters) * 1e3
         fused_ms = _timeit(fused, (params, text, sl, imgs, rng),
                            args.iters) * 1e3
+        qpi = args.questions_per_image
+        n_q = n * qpi
+        text_q = jax.random.randint(key, (t_enc, n_q), 0, 82, jnp.int32)
+        sl_q = jnp.full((n_q,), t_enc, jnp.int32)
+        img_idx = jnp.repeat(jnp.arange(n, dtype=jnp.int32), qpi)
+        dedup_ms = _timeit(
+            fused_dedup, (params, text_q, sl_q, imgs, img_idx, rng),
+            args.iters) * 1e3
+
         row = {
             "batch": n,
             "vgg_ms": round(vgg_ms, 2),
@@ -117,6 +137,8 @@ def main():
             "fused_ms": round(fused_ms, 2),
             "overlap_ms": round(vgg_ms + nmn_ms - fused_ms, 2),
             "fused_qps": round(n / fused_ms * 1e3, 1),
+            "dedup_qps": round(n_q / dedup_ms * 1e3, 1),
+            "dedup_questions": n_q,
             "vgg_images_per_s": round(n / vgg_ms * 1e3, 1),
             "vgg_mfu": round(flops_vgg * n / (vgg_ms / 1e3)
                              / V5E_BF16_PEAK_FLOPS, 4),

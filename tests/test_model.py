@@ -133,3 +133,33 @@ def test_clevr_end_to_end_in_graph_vgg():
     _, out = run(model, image_shape=(2, 32, 32, 3), N=2)
     assert out.scores.shape == (2, 5)
     assert np.all(np.isfinite(np.asarray(out.scores)))
+
+
+def test_image_idx_dedup_matches_repeated_images():
+    """The image_idx dedup path (backbone on M unique images + per-
+    question gather) must score identically to feeding each question
+    its own (repeated) image — the production image->answer shape."""
+    model, _ = build("clevr", in_graph_vgg=True, H_feat=1, W_feat=1,
+                     D_feat=512)
+    rng = np.random.RandomState(0)
+    M, qpi = 2, 3
+    N = M * qpi
+    T_enc = 7
+    text = jnp.asarray(rng.randint(0, 20, size=(T_enc, N)), jnp.int32)
+    lengths = jnp.asarray(rng.randint(2, T_enc + 1, size=N), jnp.int32)
+    uniq = jnp.asarray(rng.rand(M, 32, 32, 3) * 255.0, jnp.float32)
+    idx = jnp.repeat(jnp.arange(M, dtype=jnp.int32), qpi)
+    params = model.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+
+    out_dedup = jax.jit(
+        lambda p, t, l, i, ix, r: model.apply(p, t, l, i, r,
+                                              image_idx=ix))(
+        params, text, lengths, uniq, idx, key)
+    out_full = jax.jit(lambda p, t, l, i, r: model.apply(p, t, l, i, r))(
+        params, text, lengths, jnp.take(uniq, idx, axis=0), key)
+    np.testing.assert_allclose(np.asarray(out_dedup.scores),
+                               np.asarray(out_full.scores),
+                               rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(out_dedup.tokens),
+                          np.asarray(out_full.tokens))
