@@ -19,12 +19,15 @@ parser.add_argument("--vgg_weights", type=str, default=None,
                          ".pth) for --from_images")
 parser.add_argument("--image_H", type=int, default=320)
 parser.add_argument("--image_W", type=int, default=480)
+parser.add_argument("--num_mlp_ext", action="store_true",
+                    help="framework extension: MLP heads for the count-"
+                         "comparison modules (must match the snapshot)")
 args = parser.parse_args()
 
 import dataclasses
 from n2nmn_tpu.experiments import clevr
 
-cfg = clevr.ClevrConfig()
+cfg = clevr.ClevrConfig(num_mlp_ext=args.num_mlp_ext)
 if args.data_root is not None:
     cfg = dataclasses.replace(cfg, root=args.data_root)
 if args.from_images:

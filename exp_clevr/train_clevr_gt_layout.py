@@ -21,12 +21,16 @@ parser.add_argument("--device_data", action="store_true",
                          "jitted chunks (experiments/clevr.py:device_data)")
 parser.add_argument("--device_data_bf16", action="store_true",
                     help="stage features as bf16 (halves HBM residency)")
+parser.add_argument("--num_mlp_ext", action="store_true",
+                    help="framework extension: MLP heads for the count-"
+                         "comparison modules (experiments/clevr.py)")
 args = parser.parse_args()
 
 import dataclasses
 from n2nmn_tpu.experiments import clevr
 
-cfg = clevr.ClevrConfig(exp_name=args.exp_name, seed=args.seed)
+cfg = clevr.ClevrConfig(exp_name=args.exp_name, seed=args.seed,
+                        num_mlp_ext=args.num_mlp_ext)
 if args.max_iter is not None:
     cfg = dataclasses.replace(cfg, max_iter=args.max_iter)
 if args.data_root is not None:

@@ -13,11 +13,15 @@ parser.add_argument("--data_root", type=str, default=None)
 parser.add_argument("--from_images", action="store_true",
                     help="raw images via in-graph frozen VGG pool5")
 parser.add_argument("--vgg_weights", type=str, default=None)
+parser.add_argument("--num_mlp_ext", action="store_true",
+                    help="framework extension: MLP heads for the count-"
+                         "comparison modules (experiments/clevr.py)")
 args = parser.parse_args()
 
 from n2nmn_tpu.experiments import clevr
 
-overrides = {"exp_name": args.exp_name, "seed": args.seed}
+overrides = {"exp_name": args.exp_name, "seed": args.seed,
+             "num_mlp_ext": args.num_mlp_ext}
 if args.max_iter is not None:
     overrides["max_iter"] = args.max_iter
 if args.data_root is not None:

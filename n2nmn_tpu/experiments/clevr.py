@@ -100,6 +100,11 @@ class ClevrConfig:
     # converted VGG-16 weights (.npz from models/vgg_convert.py, or a
     # torchvision .pth); loaded into params['vgg'] for from_images runs
     vgg_weights: Optional[str] = None
+    # FRAMEWORK EXTENSION (off = reference parity): MLP heads for
+    # _EqualNum/_MoreNum/_LessNum (NMNConfig.num_mlp_ext). The parity
+    # single-fc head cannot represent count equality — mini-CLEVR
+    # measures _EqualNum ~68% under cloning with it.
+    num_mlp_ext: bool = False
 
 
 def rl_config(**overrides) -> ClevrConfig:
@@ -137,11 +142,12 @@ def build_model(cfg: ClevrConfig, sampling: bool, T_decoder: int = None):
         model_cfg = NMNConfig(
             flavor="clevr", netgen=net_cfg, num_choices=num_choices,
             H_feat=cfg.image_H // 32, W_feat=cfg.image_W // 32,
-            D_feat=512, in_graph_vgg=True)
+            D_feat=512, in_graph_vgg=True, num_mlp_ext=cfg.num_mlp_ext)
     else:
         model_cfg = NMNConfig(
             flavor="clevr", netgen=net_cfg, num_choices=num_choices,
-            H_feat=cfg.H_feat, W_feat=cfg.W_feat, D_feat=cfg.D_feat)
+            H_feat=cfg.H_feat, W_feat=cfg.W_feat, D_feat=cfg.D_feat,
+            num_mlp_ext=cfg.num_mlp_ext)
     return NMNModel(model_cfg, grammar), grammar
 
 

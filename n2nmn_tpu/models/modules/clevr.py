@@ -28,8 +28,28 @@ TRANSFORM_KERNEL = 5
 SCENE_POS_VAL = 3.0  # reference SceneModule pos_val (nmn3_modules.py:60)
 
 
+NUM_EXT_HIDDEN = 128   # hidden width of the num_mlp extension heads
+
+
+def _init_pair_counts(key, hw, num_choices, num_mlp, dtype):
+    """Head for _EqualNum/_MoreNum/_LessNum over the two concatenated
+    count-feature vectors. The reference head is a single fc
+    (nmn3_modules.py EqualNumModule et al.) — which provably cannot
+    compute count equality (nonlinear in the pair). num_mlp=True is a
+    FRAMEWORK EXTENSION (NMNConfig.num_mlp_ext, off by default for
+    parity): one hidden relu layer restores expressiveness."""
+    if not num_mlp:
+        return {"fc_scores": init_fc(key, 2 * (hw + 2), num_choices,
+                                     dtype=dtype)}
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc_hidden": init_fc(k1, 2 * (hw + 2), NUM_EXT_HIDDEN, dtype=dtype),
+        "fc_scores": init_fc(k2, NUM_EXT_HIDDEN, num_choices, dtype=dtype),
+    }
+
+
 def init_params(key, image_dim, text_dim, num_choices, hw,
-                map_dim=MAP_DIM, dtype=jnp.float32):
+                map_dim=MAP_DIM, dtype=jnp.float32, num_mlp=False):
     keys = jax.random.split(key, 24)
     k = iter(keys)
     return {
@@ -56,12 +76,12 @@ def init_params(key, image_dim, text_dim, num_choices, hw,
                                        dtype=dtype)},
         "count": {"fc_scores": init_fc(next(k), hw + 2, num_choices,
                                        dtype=dtype)},
-        "equal_num": {"fc_scores": init_fc(next(k), 2 * (hw + 2),
-                                           num_choices, dtype=dtype)},
-        "more_num": {"fc_scores": init_fc(next(k), 2 * (hw + 2),
-                                          num_choices, dtype=dtype)},
-        "less_num": {"fc_scores": init_fc(next(k), 2 * (hw + 2),
-                                          num_choices, dtype=dtype)},
+        "equal_num": _init_pair_counts(next(k), hw, num_choices, num_mlp,
+                                       dtype),
+        "more_num": _init_pair_counts(next(k), hw, num_choices, num_mlp,
+                                      dtype),
+        "less_num": _init_pair_counts(next(k), hw, num_choices, num_mlp,
+                                      dtype),
         "same_property": {
             "fc_text": init_fc(next(k), text_dim, map_dim, dtype=dtype),
             "fc_att_0": init_fc(next(k), image_dim, map_dim, dtype=dtype),
@@ -223,6 +243,8 @@ def make_branches(params):
         def fn(pre, pre_t, in0, in1, t):
             feats = jnp.concatenate(
                 [common.flat_min_max(in0), common.flat_min_max(in1)], axis=1)
+            if "fc_hidden" in params[name]:   # num_mlp extension head
+                feats = jax.nn.relu(_fc(params[name]["fc_hidden"], feats))
             return _fc(params[name]["fc_scores"], feats)
         return fn
 

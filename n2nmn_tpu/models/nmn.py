@@ -56,6 +56,12 @@ class NMNConfig:
     qpn_dropout: bool = False
     reduce_visfeat_dim: bool = False
     D_feat_raw: int = 0            # raw channels before reduce_visfeat_dim
+    # FRAMEWORK EXTENSION (off = reference parity): MLP heads for the
+    # CLEVR count-comparison modules _EqualNum/_MoreNum/_LessNum. The
+    # reference's single fc over two count encodings cannot represent
+    # count equality (nmn3_modules.py EqualNumModule); one hidden relu
+    # layer can (modules/clevr.py:_init_pair_counts).
+    num_mlp_ext: bool = False
 
     @property
     def freeze_vgg(self) -> bool:
@@ -100,6 +106,9 @@ class NMNModel:
         from n2nmn_tpu.models.modules import common
         return (os.environ.get("N2NMN_FUSED_EXECUTOR", "0") == "1"
                 and self.cfg.flavor == "clevr" and deterministic
+                # the fused kernel hard-codes the parity (single-fc)
+                # pair-count heads; the num_mlp extension keeps XLA
+                and not self.cfg.num_mlp_ext
                 and common.transform_impl_for_batch(n) == "conv")
 
     def init(self, key, dtype=jnp.float32):
@@ -109,6 +118,7 @@ class NMNModel:
         lib_kwargs = {}
         if cfg.flavor == "clevr":
             lib_kwargs["hw"] = cfg.H_feat * cfg.W_feat
+            lib_kwargs["num_mlp"] = cfg.num_mlp_ext
         params["modules"] = self.lib.init_params(
             k_mod, cfg.D_feat, cfg.netgen.embed_dim_txt, cfg.num_choices,
             dtype=dtype, **lib_kwargs)

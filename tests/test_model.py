@@ -135,6 +135,41 @@ def test_clevr_end_to_end_in_graph_vgg():
     assert np.all(np.isfinite(np.asarray(out.scores)))
 
 
+def test_num_mlp_ext_heads():
+    """num_mlp_ext (framework extension) adds a hidden relu layer to the
+    count-comparison heads; parity config keeps the single fc."""
+    model, grammar = build("clevr", num_mlp_ext=True)
+    params, out = run(model)
+    for name in ("equal_num", "more_num", "less_num"):
+        assert "fc_hidden" in params["modules"][name]
+    assert out.scores.shape == (6, 5)
+    assert np.all(np.isfinite(np.asarray(out.scores)))
+
+    parity_model, _ = build("clevr")
+    parity_params = parity_model.init(jax.random.PRNGKey(0))
+    assert "fc_hidden" not in parity_params["modules"]["equal_num"]
+
+    # gradient reaches the new hidden layer through an _EqualNum layout
+    rng = np.random.RandomState(0)
+    N, T_enc = 4, 7
+    text = jnp.asarray(rng.randint(0, 20, size=(T_enc, N)), jnp.int32)
+    lengths = jnp.asarray(rng.randint(2, T_enc + 1, size=N), jnp.int32)
+    image = jnp.asarray(rng.randn(N, 3, 4, 8), jnp.float32)
+    gt = np.full((8, N), grammar.eos_idx, np.int32)
+    gt[0] = grammar.name2idx["_Find"]
+    gt[1] = grammar.name2idx["_Find"]
+    gt[2] = grammar.name2idx["_EqualNum"]
+
+    def loss(p):
+        out = model.apply(p, text, lengths, image, jax.random.PRNGKey(1),
+                          gt_layout=jnp.asarray(gt), use_gt_layout=True)
+        return jnp.sum(out.scores ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert np.any(np.asarray(
+        grads["modules"]["equal_num"]["fc_hidden"]["w"]) != 0)
+
+
 def test_image_idx_dedup_matches_repeated_images():
     """The image_idx dedup path (backbone on M unique images + per-
     question gather) must score identically to feeding each question
