@@ -61,11 +61,17 @@ def make_pipeline_fns(model):
     return prologue, step, epilogue
 
 
-def run_pipelined(model, params, batches, rng):
+def run_pipelined(model, params, batches, rng, fns=None):
     """batches: list of (text_seq, seq_length, image_input) device
     tuples. Returns a list of (predictions, validity, tokens) device
-    triples, one per batch."""
-    prologue, step, epilogue = make_pipeline_fns(model)
+    triples, one per batch.
+
+    fns: the (prologue, step, epilogue) triple from make_pipeline_fns —
+    PASS IT when calling more than once, or each call builds fresh
+    jax.jit wrappers whose caches start empty (three compilation-cache
+    deserializations per call; measured 30x slower than the steps
+    themselves at N=1024)."""
+    prologue, step, epilogue = fns or make_pipeline_fns(model)
     outs = []
     text, sl, img = batches[0]
     carry = prologue(params, text, sl, rng)
@@ -118,10 +124,12 @@ def _bench(args):
 
         # pipelined: same question count in half-batches, 2 in flight
         b_half = mk(2 * args.iters, half)
-        outs = run_pipelined(model, params, b_half[:4], rng)   # compile
+        fns = make_pipeline_fns(model)
+        outs = run_pipelined(model, params, b_half[:4], rng,
+                             fns=fns)   # compile
         jax.block_until_ready(outs)
         t0 = time.perf_counter()
-        outs = run_pipelined(model, params, b_half, rng)
+        outs = run_pipelined(model, params, b_half, rng, fns=fns)
         jax.block_until_ready(outs)
         pipe_qps = 2 * args.iters * half / (time.perf_counter() - t0)
 
