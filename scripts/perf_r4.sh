@@ -34,6 +34,12 @@ run trained_serving python -u -m n2nmn_tpu.tools.trained_serving_bench \
     --snapshot_name 00040000 --batch_sizes 256 1024 \
     --out perf/trained_serving_flag_v21_r4.json
 
+# 5b. same on the best RL fine-tune (s2, 90.2% test)
+run trained_serving_rl python -u -m n2nmn_tpu.tools.trained_serving_bench \
+    --data_root ./exp_clevr_flag --exp_name flag_v21_rl_s2 \
+    --snapshot_name 00020000 --batch_sizes 256 1024 \
+    --out perf/trained_serving_flag_v21_rl_r4.json
+
 # 6. full bench (validates the new image-baseline fields)
 run bench python -u bench.py
 
