@@ -19,6 +19,9 @@ parser.add_argument("--vgg_weights", type=str, default=None,
                          ".pth) for --from_images")
 parser.add_argument("--image_H", type=int, default=320)
 parser.add_argument("--image_W", type=int, default=480)
+parser.add_argument("--scene_ext", action="store_true",
+                    help="framework extension: learned objectness _Scene "
+                         "attention (must match the snapshot)")
 parser.add_argument("--num_mlp_ext", action="store_true",
                     help="framework extension: MLP heads for the count-"
                          "comparison modules (must match the snapshot)")
@@ -27,7 +30,8 @@ args = parser.parse_args()
 import dataclasses
 from n2nmn_tpu.experiments import clevr
 
-cfg = clevr.ClevrConfig(num_mlp_ext=args.num_mlp_ext)
+cfg = clevr.ClevrConfig(num_mlp_ext=args.num_mlp_ext,
+                        scene_ext=args.scene_ext)
 if args.data_root is not None:
     cfg = dataclasses.replace(cfg, root=args.data_root)
 if args.from_images:

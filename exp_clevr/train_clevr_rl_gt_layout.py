@@ -21,6 +21,9 @@ parser.add_argument("--device_data", action="store_true",
                          "jitted chunks (experiments/clevr.py:device_data)")
 parser.add_argument("--device_data_bf16", action="store_true",
                     help="stage features as bf16 (halves HBM residency)")
+parser.add_argument("--scene_ext", action="store_true",
+                    help="framework extension: learned objectness _Scene "
+                         "attention (must match the snapshot)")
 parser.add_argument("--num_mlp_ext", action="store_true",
                     help="framework extension: MLP heads for the count-"
                          "comparison modules (experiments/clevr.py)")
@@ -29,7 +32,8 @@ args = parser.parse_args()
 from n2nmn_tpu.experiments import clevr
 
 overrides = {"exp_name": args.exp_name, "seed": args.seed,
-             "num_mlp_ext": args.num_mlp_ext}
+             "num_mlp_ext": args.num_mlp_ext,
+             "scene_ext": args.scene_ext}
 if args.max_iter is not None:
     overrides["max_iter"] = args.max_iter
 if args.data_root is not None:

@@ -105,6 +105,10 @@ class ClevrConfig:
     # single-fc head cannot represent count equality — mini-CLEVR
     # measures _EqualNum ~68% under cloning with it.
     num_mlp_ext: bool = False
+    # FRAMEWORK EXTENSION (off = reference parity): learned objectness
+    # _Scene attention (NMNConfig.scene_ext) — lifts the _Scene _Count
+    # constant-attention floor.
+    scene_ext: bool = False
 
 
 def rl_config(**overrides) -> ClevrConfig:
@@ -142,12 +146,13 @@ def build_model(cfg: ClevrConfig, sampling: bool, T_decoder: int = None):
         model_cfg = NMNConfig(
             flavor="clevr", netgen=net_cfg, num_choices=num_choices,
             H_feat=cfg.image_H // 32, W_feat=cfg.image_W // 32,
-            D_feat=512, in_graph_vgg=True, num_mlp_ext=cfg.num_mlp_ext)
+            D_feat=512, in_graph_vgg=True, num_mlp_ext=cfg.num_mlp_ext,
+            scene_ext=cfg.scene_ext)
     else:
         model_cfg = NMNConfig(
             flavor="clevr", netgen=net_cfg, num_choices=num_choices,
             H_feat=cfg.H_feat, W_feat=cfg.W_feat, D_feat=cfg.D_feat,
-            num_mlp_ext=cfg.num_mlp_ext)
+            num_mlp_ext=cfg.num_mlp_ext, scene_ext=cfg.scene_ext)
     return NMNModel(model_cfg, grammar), grammar
 
 

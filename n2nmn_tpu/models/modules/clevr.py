@@ -49,10 +49,24 @@ def _init_pair_counts(key, hw, num_choices, num_mlp, dtype):
 
 
 def init_params(key, image_dim, text_dim, num_choices, hw,
-                map_dim=MAP_DIM, dtype=jnp.float32, num_mlp=False):
+                map_dim=MAP_DIM, dtype=jnp.float32, num_mlp=False,
+                scene_ext=False):
     keys = jax.random.split(key, 24)
     k = iter(keys)
-    return {
+    extra = {}
+    if scene_ext:
+        # FRAMEWORK EXTENSION (NMNConfig.scene_ext, off by default for
+        # parity): learned objectness attention for _Scene. The
+        # reference SceneModule emits a CONSTANT map (pos_val 3,
+        # nmn3_modules.py:60-72), so _Scene _Count cannot see the scene
+        # — the measured ~18% accuracy floor on that family. A 1x1 conv
+        # of image features (a _Find with no text argument) restores
+        # image dependence. Key derived via fold_in so the parity
+        # parameter stream is untouched.
+        extra["scene"] = {
+            "fc_att": init_fc(jax.random.fold_in(key, 999), image_dim, 1,
+                              dtype=dtype)}
+    return extra | {
         "find": {
             "conv_image": init_fc(next(k), image_dim, map_dim, dtype=dtype),
             "fc_text": init_fc(next(k), text_dim, map_dim, dtype=dtype),
@@ -116,6 +130,12 @@ def precompute(params, image_feat, word_vecs):
             image_feat).reshape(n, h * w, -1),
         "h": h, "w": w,
     }
+    if "scene" in params:
+        # scene_ext: stack- and text-independent, so hoisted out of the
+        # executor scan (computing it per step would re-stream the full
+        # [N, HW, D] grid each step for a [N, HW] result)
+        pre_static["att_scene"] = apply_1x1_conv(
+            params["scene"]["fc_att"], image_feat).reshape(n, h * w)
     if common.grid_int8_active():
         # one-time int8 quantization of the two grids the executor scan
         # re-streams every step (see common.GRID_INT8); the bf16
@@ -183,6 +203,8 @@ def make_branches(params):
 
     def scene(pre, pre_t, in0, in1, t):
         n, hw, _ = pre["img_find"].shape
+        if "scene" in params:   # scene_ext: learned objectness attention
+            return pre["att_scene"].astype(pre["img_find"].dtype)
         return jnp.full((n, hw), SCENE_POS_VAL, pre["img_find"].dtype)
 
     def find(pre, pre_t, in0, in1, t):

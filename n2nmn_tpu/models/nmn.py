@@ -62,6 +62,12 @@ class NMNConfig:
     # count equality (nmn3_modules.py EqualNumModule); one hidden relu
     # layer can (modules/clevr.py:_init_pair_counts).
     num_mlp_ext: bool = False
+    # FRAMEWORK EXTENSION (off = reference parity): learned objectness
+    # attention for _Scene. The reference SceneModule emits a constant
+    # map (nmn3_modules.py:60-72), so Count over a Scene layout cannot
+    # see the scene — the measured ~18% floor on the _Scene _Count
+    # family (modules/clevr.py:init_params scene_ext note).
+    scene_ext: bool = False
 
     @property
     def freeze_vgg(self) -> bool:
@@ -107,8 +113,10 @@ class NMNModel:
         return (os.environ.get("N2NMN_FUSED_EXECUTOR", "0") == "1"
                 and self.cfg.flavor == "clevr" and deterministic
                 # the fused kernel hard-codes the parity (single-fc)
-                # pair-count heads; the num_mlp extension keeps XLA
+                # pair-count heads and the constant-Scene branch; the
+                # extensions keep XLA
                 and not self.cfg.num_mlp_ext
+                and not self.cfg.scene_ext
                 and common.transform_impl_for_batch(n) == "conv")
 
     def init(self, key, dtype=jnp.float32):
@@ -119,6 +127,7 @@ class NMNModel:
         if cfg.flavor == "clevr":
             lib_kwargs["hw"] = cfg.H_feat * cfg.W_feat
             lib_kwargs["num_mlp"] = cfg.num_mlp_ext
+            lib_kwargs["scene_ext"] = cfg.scene_ext
         params["modules"] = self.lib.init_params(
             k_mod, cfg.D_feat, cfg.netgen.embed_dim_txt, cfg.num_choices,
             dtype=dtype, **lib_kwargs)
