@@ -114,6 +114,42 @@ def bench_fused_eval(batch_sizes=(256, 1024)):
     return qps, mfu, flops_q, xla_flops_q, n, per_batch
 
 
+def bench_pipelined_eval(n_total=1024, iters=20):
+    """Round-4 serving mode: decode(k+1) + execute(k) of two half-batches
+    in ONE program (tools/pipelined_eval.py) — overlaps the latency-bound
+    decode chain with the bandwidth-bound executor streams across
+    batches. Equality-tested vs the fused path (tests/test_serve.py);
+    measured 1.06-1.17x over fused at equal question counts
+    (perf/pipelined_eval_r4.json)."""
+    from n2nmn_tpu.tools.pipelined_eval import (
+        make_pipeline_fns, run_pipelined)
+
+    model = _flagship_model()
+    params = model.init(jax.random.PRNGKey(0))
+    if BF16:
+        params = _cast_bf16(params)
+    half = n_total // 2
+    t_enc = 45
+    key = jax.random.PRNGKey(0)
+    fdt = jnp.bfloat16 if BF16 else jnp.float32
+    # small ring of distinct half-batches cycled to bound device memory
+    ring = [(jax.random.randint(jax.random.fold_in(key, i),
+                                (t_enc, half), 0, 82, jnp.int32),
+             jnp.full((half,), t_enc, jnp.int32),
+             jax.random.normal(jax.random.fold_in(key, 100 + i),
+                               (half, 10, 15, 512), fdt))
+            for i in range(4)]
+    batches = [ring[i % 4] for i in range(2 * iters)]
+    rng = jax.random.PRNGKey(1)
+    fns = make_pipeline_fns(model)
+    outs = run_pipelined(model, params, batches[:4], rng, fns=fns)  # compile
+    jax.block_until_ready(outs)
+    t0 = time.perf_counter()
+    outs = run_pipelined(model, params, batches, rng, fns=fns)
+    jax.block_until_ready(outs)
+    return 2 * iters * half / (time.perf_counter() - t0)
+
+
 def bench_two_phase_baseline():
     """Reference execution model, float32 (the reference system is f32
     TF1.0+Fold); params reused from the flagship entry() model."""
@@ -299,8 +335,19 @@ def bench_from_images():
 
 
 def main():
-    (qps, mfu, flops_per_q, xla_flops_q, best_n,
+    (fused_qps, mfu, flops_per_q, xla_flops_q, best_n,
      per_batch) = bench_fused_eval()
+    pipelined_qps = bench_pipelined_eval()
+    # headline = best serving mode; the pipelined path is prediction-
+    # equality-tested vs fused (tests/test_serve.py) so both are
+    # legitimate serving configurations of the same model
+    if pipelined_qps > fused_qps:
+        qps = pipelined_qps
+        serving_mode = "pipelined (2x512 in flight, one program)"
+        mfu = mfu * pipelined_qps / fused_qps
+    else:
+        qps = fused_qps
+        serving_mode = f"fused single batch N={best_n}"
     baseline = bench_two_phase_baseline()
     train = bench_train_steps()
     img_qps, img_mfu, img_dedup_qps = bench_from_images()
@@ -328,6 +375,9 @@ def main():
         "h2d_mb_per_s": round(h2d, 1),
         "tf1_estimate_qps": TF1_GPU_ESTIMATE_QPS,
         "mfu": round(mfu, 4),
+        "serving_mode": serving_mode,
+        "fused_qps": round(fused_qps, 2),
+        "pipelined_qps": round(pipelined_qps, 2),
         "eval_batch": best_n,
         "qps_per_batch": {str(k): round(v, 1)
                           for k, v in per_batch.items()},

@@ -12,7 +12,8 @@ SEED=0
 GT=flag_v21_gtmlp_s${SEED}
 RL=flag_v21_rlmlp_s${SEED}
 
-[ -f ${ROOT}/data/.v21_80k ] || { echo "v21 dataset missing"; exit 1; }
+[ -f ${ROOT}/data/imdb/imdb_trn4k.npy ] && [ -d ${ROOT}/features ] \
+    || { echo "v21 dataset missing (run flag_v21_r4.sh or flag_ext_r4.sh)"; exit 1; }
 
 python -u exp_clevr/train_clevr_gt_layout.py --data_root ${ROOT} \
     --exp_name ${GT} --max_iter 40000 --seed ${SEED} \

@@ -11,7 +11,10 @@ export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 ROOT=./exp_clevr_flag
 MARKER=${ROOT}/data/.v21_80k
 
-if [ ! -f ${MARKER} ]; then
+# gate on the real generated files too: a fresh container checkout can
+# carry a stale tracked marker while the gitignored data is gone
+if [ ! -f ${MARKER} ] || [ ! -f ${ROOT}/data/imdb/imdb_trn4k.npy ] \
+   || [ ! -d ${ROOT}/features ]; then
     rm -rf ${ROOT}/features ${ROOT}/data/imdb
     python -u -m n2nmn_tpu.data.builders.mini_clevr --out_root ${ROOT} \
         --flagship --num_train 80000 --seed 0
