@@ -109,6 +109,11 @@ class ClevrConfig:
     # _Scene attention (NMNConfig.scene_ext) — lifts the _Scene _Count
     # constant-attention floor.
     scene_ext: bool = False
+    # FRAMEWORK EXTENSION (off = reference parity): MLP _Count head
+    # (NMNConfig.count_mlp_ext) — needed alongside scene_ext so the
+    # shared Count head can serve both the learned-objectness _Scene
+    # maps and the _Find maps.
+    count_mlp_ext: bool = False
 
 
 def rl_config(**overrides) -> ClevrConfig:

@@ -50,7 +50,7 @@ def _init_pair_counts(key, hw, num_choices, num_mlp, dtype):
 
 def init_params(key, image_dim, text_dim, num_choices, hw,
                 map_dim=MAP_DIM, dtype=jnp.float32, num_mlp=False,
-                scene_ext=False):
+                scene_ext=False, count_mlp=False):
     keys = jax.random.split(key, 24)
     k = iter(keys)
     extra = {}
@@ -88,8 +88,22 @@ def init_params(key, image_dim, text_dim, num_choices, hw,
         },
         "exist": {"fc_scores": init_fc(next(k), 3, num_choices,
                                        dtype=dtype)},
-        "count": {"fc_scores": init_fc(next(k), hw + 2, num_choices,
-                                       dtype=dtype)},
+        # count_mlp: FRAMEWORK EXTENSION (NMNConfig.count_mlp_ext, off by
+        # default for parity with the single-fc CountModule,
+        # nmn3_modules.py:75-86). A linear head over the flattened
+        # attention cannot serve two differently-scaled attention
+        # families at once — measured when scene_ext's learned-objectness
+        # maps and _Find maps share this head (_Find _Count 84%->60%,
+        # _Find _Find _Or _Count 96%->31% on flag_v21 seed 0); one hidden
+        # relu layer restores per-family counting.
+        "count": ({"fc_hidden": init_fc(next(k), hw + 2, NUM_EXT_HIDDEN,
+                                        dtype=dtype),
+                   "fc_scores": init_fc(jax.random.fold_in(key, 998),
+                                        NUM_EXT_HIDDEN, num_choices,
+                                        dtype=dtype)}
+                  if count_mlp else
+                  {"fc_scores": init_fc(next(k), hw + 2, num_choices,
+                                        dtype=dtype)}),
         "equal_num": _init_pair_counts(next(k), hw, num_choices, num_mlp,
                                        dtype),
         "more_num": _init_pair_counts(next(k), hw, num_choices, num_mlp,
@@ -259,7 +273,10 @@ def make_branches(params):
         return _fc(params["exist"]["fc_scores"], common.min_avg_max(in0))
 
     def count(pre, pre_t, in0, in1, t):
-        return _fc(params["count"]["fc_scores"], common.flat_min_max(in0))
+        feats = common.flat_min_max(in0)
+        if "fc_hidden" in params["count"]:   # count_mlp extension head
+            feats = jax.nn.relu(_fc(params["count"]["fc_hidden"], feats))
+        return _fc(params["count"]["fc_scores"], feats)
 
     def _pair_counts(name):
         def fn(pre, pre_t, in0, in1, t):

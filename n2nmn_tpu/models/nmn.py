@@ -68,6 +68,12 @@ class NMNConfig:
     # see the scene — the measured ~18% floor on the _Scene _Count
     # family (modules/clevr.py:init_params scene_ext note).
     scene_ext: bool = False
+    # FRAMEWORK EXTENSION (off = reference parity): MLP _Count head.
+    # The reference CountModule is one fc over the flattened attention
+    # (nmn3_modules.py:75-86) — linear, so it cannot count two
+    # differently-scaled attention families at once, which scene_ext
+    # introduces (modules/clevr.py:init_params count note).
+    count_mlp_ext: bool = False
 
     @property
     def freeze_vgg(self) -> bool:
@@ -117,6 +123,7 @@ class NMNModel:
                 # extensions keep XLA
                 and not self.cfg.num_mlp_ext
                 and not self.cfg.scene_ext
+                and not self.cfg.count_mlp_ext
                 and common.transform_impl_for_batch(n) == "conv")
 
     def init(self, key, dtype=jnp.float32):
@@ -128,6 +135,7 @@ class NMNModel:
             lib_kwargs["hw"] = cfg.H_feat * cfg.W_feat
             lib_kwargs["num_mlp"] = cfg.num_mlp_ext
             lib_kwargs["scene_ext"] = cfg.scene_ext
+            lib_kwargs["count_mlp"] = cfg.count_mlp_ext
         params["modules"] = self.lib.init_params(
             k_mod, cfg.D_feat, cfg.netgen.embed_dim_txt, cfg.num_choices,
             dtype=dtype, **lib_kwargs)

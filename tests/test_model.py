@@ -206,6 +206,43 @@ def test_scene_ext_learned_attention():
         grads["modules"]["scene"]["fc_att"]["w"]) != 0)
 
 
+def test_count_mlp_ext_head():
+    """count_mlp_ext (framework extension) adds a hidden relu layer to
+    the _Count head; parity config keeps the reference's single fc
+    (nmn3_modules.py:75-86). Needed with scene_ext so one Count head can
+    serve both the learned _Scene maps and the _Find maps."""
+    model, grammar = build("clevr", scene_ext=True, count_mlp_ext=True)
+    params, out = run(model)
+    assert "fc_hidden" in params["modules"]["count"]
+    assert np.all(np.isfinite(np.asarray(out.scores)))
+
+    parity_params = build("clevr")[0].init(jax.random.PRNGKey(0))
+    assert "fc_hidden" not in parity_params["modules"]["count"]
+    # parity parameter stream untouched: shared modules init identically
+    np.testing.assert_array_equal(
+        np.asarray(parity_params["modules"]["exist"]["fc_scores"]["w"]),
+        np.asarray(params["modules"]["exist"]["fc_scores"]["w"]))
+
+    # gradient reaches the hidden layer through a _Find _Count layout
+    rng = np.random.RandomState(0)
+    N, T_enc = 4, 7
+    text = jnp.asarray(rng.randint(0, 20, size=(T_enc, N)), jnp.int32)
+    lengths = jnp.asarray(rng.randint(2, T_enc + 1, size=N), jnp.int32)
+    image = jnp.asarray(rng.randn(N, 3, 4, 8), jnp.float32)
+    gt = np.full((8, N), grammar.eos_idx, np.int32)
+    gt[0] = grammar.name2idx["_Find"]
+    gt[1] = grammar.name2idx["_Count"]
+
+    def loss(p):
+        out = model.apply(p, text, lengths, image, jax.random.PRNGKey(1),
+                          gt_layout=jnp.asarray(gt), use_gt_layout=True)
+        return jnp.sum(out.scores ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert np.any(np.asarray(
+        grads["modules"]["count"]["fc_hidden"]["w"]) != 0)
+
+
 def test_image_idx_dedup_matches_repeated_images():
     """The image_idx dedup path (backbone on M unique images + per-
     question gather) must score identically to feeding each question
