@@ -93,9 +93,9 @@ def init_params(key, image_dim, text_dim, num_choices, hw,
         # nmn3_modules.py:75-86). A linear head over the flattened
         # attention cannot serve two differently-scaled attention
         # families at once — measured when scene_ext's learned-objectness
-        # maps and _Find maps share this head (_Find _Count 84%->60%,
-        # _Find _Find _Or _Count 96%->31% on flag_v21 seed 0); one hidden
-        # relu layer restores per-family counting.
+        # maps and _Find maps share this head (flag_v21 seed 0 cloning:
+        # _Find _Count 90%->60%, _Find _Find _Or _Count 78%->31%); one
+        # hidden relu layer restores per-family counting.
         "count": ({"fc_hidden": init_fc(next(k), hw + 2, NUM_EXT_HIDDEN,
                                         dtype=dtype),
                    "fc_scores": init_fc(jax.random.fold_in(key, 998),
