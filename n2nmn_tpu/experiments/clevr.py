@@ -114,6 +114,9 @@ class ClevrConfig:
     # shared Count head can serve both the learned-objectness _Scene
     # maps and the _Find maps.
     count_mlp_ext: bool = False
+    # modifier on scene_ext: sigmoid-bounded objectness (NMNConfig.
+    # scene_bounded) — keeps scene maps in the parity value regime.
+    scene_bounded: bool = False
 
 
 def rl_config(**overrides) -> ClevrConfig:
@@ -152,12 +155,15 @@ def build_model(cfg: ClevrConfig, sampling: bool, T_decoder: int = None):
             flavor="clevr", netgen=net_cfg, num_choices=num_choices,
             H_feat=cfg.image_H // 32, W_feat=cfg.image_W // 32,
             D_feat=512, in_graph_vgg=True, num_mlp_ext=cfg.num_mlp_ext,
-            scene_ext=cfg.scene_ext)
+            scene_ext=cfg.scene_ext, count_mlp_ext=cfg.count_mlp_ext,
+            scene_bounded=cfg.scene_bounded)
     else:
         model_cfg = NMNConfig(
             flavor="clevr", netgen=net_cfg, num_choices=num_choices,
             H_feat=cfg.H_feat, W_feat=cfg.W_feat, D_feat=cfg.D_feat,
-            num_mlp_ext=cfg.num_mlp_ext, scene_ext=cfg.scene_ext)
+            num_mlp_ext=cfg.num_mlp_ext, scene_ext=cfg.scene_ext,
+            count_mlp_ext=cfg.count_mlp_ext,
+            scene_bounded=cfg.scene_bounded)
     return NMNModel(model_cfg, grammar), grammar
 
 

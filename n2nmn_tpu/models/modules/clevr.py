@@ -50,7 +50,7 @@ def _init_pair_counts(key, hw, num_choices, num_mlp, dtype):
 
 def init_params(key, image_dim, text_dim, num_choices, hw,
                 map_dim=MAP_DIM, dtype=jnp.float32, num_mlp=False,
-                scene_ext=False, count_mlp=False):
+                scene_ext=False, count_mlp=False, scene_bounded=False):
     keys = jax.random.split(key, 24)
     k = iter(keys)
     extra = {}
@@ -63,7 +63,17 @@ def init_params(key, image_dim, text_dim, num_choices, hw,
         # of image features (a _Find with no text argument) restores
         # image dependence. Key derived via fold_in so the parity
         # parameter stream is untouched.
-        extra["scene"] = {
+        #
+        # scene_bounded (NMNConfig.scene_bounded, params key "scene_b"):
+        # squash the objectness logits to SCENE_POS_VAL*sigmoid, i.e.
+        # [0, 3] — per-cell "pos_val where objects are". The raw form's
+        # unbounded logits shift the scale of one of the two attention
+        # families the shared answer heads read through flat_min_max,
+        # and the _Find-map families collapse (flag_v21 seed 0: _Find
+        # _Count 90%->60%, _Or _Count 78%->31%, unfixed by an MLP Count
+        # head — a train-time interference, not head expressiveness).
+        key_name = "scene_b" if scene_bounded else "scene"
+        extra[key_name] = {
             "fc_att": init_fc(jax.random.fold_in(key, 999), image_dim, 1,
                               dtype=dtype)}
     return extra | {
@@ -150,6 +160,13 @@ def precompute(params, image_feat, word_vecs):
         # [N, HW, D] grid each step for a [N, HW] result)
         pre_static["att_scene"] = apply_1x1_conv(
             params["scene"]["fc_att"], image_feat).reshape(n, h * w)
+    elif "scene_b" in params:
+        # scene_bounded: objectness squashed to [0, SCENE_POS_VAL] so
+        # the scene maps live in the same value regime as the parity
+        # constant map (see init_params scene note)
+        logits = apply_1x1_conv(
+            params["scene_b"]["fc_att"], image_feat).reshape(n, h * w)
+        pre_static["att_scene"] = SCENE_POS_VAL * jax.nn.sigmoid(logits)
     if common.grid_int8_active():
         # one-time int8 quantization of the two grids the executor scan
         # re-streams every step (see common.GRID_INT8); the bf16
@@ -217,7 +234,8 @@ def make_branches(params):
 
     def scene(pre, pre_t, in0, in1, t):
         n, hw, _ = pre["img_find"].shape
-        if "scene" in params:   # scene_ext: learned objectness attention
+        if "scene" in params or "scene_b" in params:
+            # scene_ext / scene_bounded: learned objectness attention
             return pre["att_scene"].astype(pre["img_find"].dtype)
         return jnp.full((n, hw), SCENE_POS_VAL, pre["img_find"].dtype)
 

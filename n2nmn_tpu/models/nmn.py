@@ -68,6 +68,11 @@ class NMNConfig:
     # see the scene — the measured ~18% floor on the _Scene _Count
     # family (modules/clevr.py:init_params scene_ext note).
     scene_ext: bool = False
+    # modifier on scene_ext: squash the objectness to [0, pos_val]
+    # (sigmoid) so scene maps share the parity constant map's value
+    # regime — the raw form's unbounded logits interfere with the
+    # shared count heads (modules/clevr.py:init_params scene note).
+    scene_bounded: bool = False
     # FRAMEWORK EXTENSION (off = reference parity): MLP _Count head.
     # The reference CountModule is one fc over the flattened attention
     # (nmn3_modules.py:75-86) — linear, so it cannot count two
@@ -136,6 +141,7 @@ class NMNModel:
             lib_kwargs["num_mlp"] = cfg.num_mlp_ext
             lib_kwargs["scene_ext"] = cfg.scene_ext
             lib_kwargs["count_mlp"] = cfg.count_mlp_ext
+            lib_kwargs["scene_bounded"] = cfg.scene_bounded
         params["modules"] = self.lib.init_params(
             k_mod, cfg.D_feat, cfg.netgen.embed_dim_txt, cfg.num_choices,
             dtype=dtype, **lib_kwargs)

@@ -47,6 +47,14 @@ def main():
                    default=[256, 1024])
     p.add_argument("--T_decoder", type=int, default=20)
     p.add_argument("--out", default=None)
+    p.add_argument("--scene_ext", action="store_true",
+                   help="framework extension (must match the snapshot)")
+    p.add_argument("--num_mlp_ext", action="store_true",
+                   help="framework extension (must match the snapshot)")
+    p.add_argument("--count_mlp_ext", action="store_true",
+                   help="framework extension (must match the snapshot)")
+    p.add_argument("--scene_bounded", action="store_true",
+                   help="scene_ext modifier (must match the snapshot)")
     args = p.parse_args()
 
     from n2nmn_tpu.experiments import clevr
@@ -54,7 +62,11 @@ def main():
     from n2nmn_tpu.train.checkpoint import load_params
     from n2nmn_tpu.train.steps import make_eval_step
 
-    cfg = clevr.ClevrConfig(root=args.data_root)
+    cfg = clevr.ClevrConfig(root=args.data_root,
+                            scene_ext=args.scene_ext,
+                            num_mlp_ext=args.num_mlp_ext,
+                            count_mlp_ext=args.count_mlp_ext,
+                            scene_bounded=args.scene_bounded)
     imdb = clevr._load_imdb(cfg, f"data/imdb/imdb_{args.split}.npy")
     cfg = clevr.infer_feature_dims(cfg, imdb)
     model, grammar = clevr.build_model(cfg, sampling=False,

@@ -169,3 +169,22 @@ def test_raw_image_source_color_conventions(tmp_path):
     np.save(bad, np.full((8, 8, 3), 100.0, np.float32))
     with pytest.raises(ValueError):
         src.get_batch([{"image_path": str(bad)}], out2)
+
+
+def test_extension_flags_reach_model(image_root):
+    """Regression: every ClevrConfig framework-extension flag must reach
+    NMNConfig through build_model (count_mlp_ext was once accepted by
+    the CLI but silently dropped here, so --count_mlp_ext trained a
+    parity Count head)."""
+    import jax
+    from n2nmn_tpu.experiments import clevr
+
+    cfg = _tiny_cfg(image_root, scene_ext=True, scene_bounded=True,
+                    num_mlp_ext=True, count_mlp_ext=True)
+    for from_images in (True, False):
+        c = dataclasses.replace(cfg, from_images=from_images)
+        model, _ = clevr.build_model(c, sampling=False)
+        params = model.init(jax.random.PRNGKey(0))
+        assert "scene_b" in params["modules"]
+        assert "fc_hidden" in params["modules"]["count"]
+        assert "fc_hidden" in params["modules"]["equal_num"]

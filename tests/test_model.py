@@ -206,6 +206,47 @@ def test_scene_ext_learned_attention():
         grads["modules"]["scene"]["fc_att"]["w"]) != 0)
 
 
+def test_scene_bounded_ext():
+    """scene_bounded (modifier on scene_ext) squashes the learned
+    objectness to [0, SCENE_POS_VAL] so scene maps share the parity
+    constant map's value regime (reference pos_val 3,
+    nmn3_modules.py:60-72)."""
+    from n2nmn_tpu.models.modules import clevr as clevr_lib
+
+    model, grammar = build("clevr", scene_ext=True, scene_bounded=True)
+    params = model.init(jax.random.PRNGKey(0))
+    assert "scene_b" in params["modules"]
+    assert "scene" not in params["modules"]
+
+    # the hoisted scene attention is within [0, SCENE_POS_VAL]
+    rng = np.random.RandomState(0)
+    image = jnp.asarray(rng.randn(3, 3, 4, 8) * 10, jnp.float32)
+    txt = jnp.asarray(rng.randn(2, 3, 12), jnp.float32)
+    pre_static, _ = clevr_lib.precompute(params["modules"], image, txt)
+    att = np.asarray(pre_static["att_scene"])
+    assert att.min() >= 0.0 and att.max() <= clevr_lib.SCENE_POS_VAL
+    # image-dependent (not the parity constant)
+    assert att.std() > 0
+
+    # gradient reaches the head through a _Scene _Count layout
+    N, T_enc = 4, 7
+    text = jnp.asarray(rng.randint(0, 20, size=(T_enc, N)), jnp.int32)
+    lengths = jnp.asarray(rng.randint(2, T_enc + 1, size=N), jnp.int32)
+    img = jnp.asarray(rng.randn(N, 3, 4, 8), jnp.float32)
+    gt = np.full((8, N), grammar.eos_idx, np.int32)
+    gt[0] = grammar.name2idx["_Scene"]
+    gt[1] = grammar.name2idx["_Count"]
+
+    def loss(p):
+        out = model.apply(p, text, lengths, img, jax.random.PRNGKey(1),
+                          gt_layout=jnp.asarray(gt), use_gt_layout=True)
+        return jnp.sum(out.scores ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert np.any(np.asarray(
+        grads["modules"]["scene_b"]["fc_att"]["w"]) != 0)
+
+
 def test_count_mlp_ext_head():
     """count_mlp_ext (framework extension) adds a hidden relu layer to
     the _Count head; parity config keeps the reference's single fc
