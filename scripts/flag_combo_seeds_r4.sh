@@ -1,24 +1,24 @@
 #!/bin/bash
-# Seeds 1-2 replication of the combined-extension flagship config
-# (scene_ext + num_mlp_ext + count_mlp_ext), same v2.1 data and
-# schedule as scripts/flag_v21_r4.sh seeds 1-2. Launch only after the
-# seed-0 combo chain (scripts/flag_combo_r4.sh) validates the config.
+# Seeds 1-2 replication of the full-extension flagship config
+# (scene_ext + scene_bounded + num_mlp_ext + count_mlp_ext), same v2.1
+# data and schedule as scripts/flag_v21_r4.sh seeds 1-2. Launch only
+# after the seed-0 chain (scripts/combo2_r4.sh) validates the config.
 set -euo pipefail
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 ROOT=./exp_clevr_flag
 
-# wait for the post-combo TPU queue to release the chip
-if [ -f /tmp/post_combo_r4.pid ]; then
-    while kill -0 "$(cat /tmp/post_combo_r4.pid)" 2>/dev/null; do
+# wait for the combo2 queue to release the chip
+if [ -f /tmp/combo2_r4.pid ]; then
+    while kill -0 "$(cat /tmp/combo2_r4.pid)" 2>/dev/null; do
         sleep 30
     done
 fi
 
-EXT="--num_mlp_ext --scene_ext --count_mlp_ext"
-for SEED in 1 2; do
-    GT=flag_v21_gtcombo_s${SEED}
-    RL=flag_v21_rlcombo_s${SEED}
+EXT="--num_mlp_ext --scene_ext --scene_bounded --count_mlp_ext"
+for SEED in "$@"; do
+    GT=flag_v21_gtfull_s${SEED}
+    RL=flag_v21_rlfull_s${SEED}
     python -u exp_clevr/train_clevr_gt_layout.py --data_root ${ROOT} \
         --exp_name ${GT} --max_iter 40000 --seed ${SEED} \
         --device_data_bf16 ${EXT}
@@ -36,6 +36,6 @@ for SEED in 1 2; do
             --exp_name ${RL} --snapshot_name 00020000 \
             --test_split $split ${EXT}
     done
-    echo "COMBO-SEED-DONE seed=${SEED} $(date)"
+    echo "FULL-SEED-DONE seed=${SEED} $(date)"
 done
-echo "COMBO-SEEDS-DONE $(date)"
+echo "FULL-SEEDS-DONE $(date)"
