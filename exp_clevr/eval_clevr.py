@@ -25,6 +25,9 @@ parser.add_argument("--scene_ext", action="store_true",
 parser.add_argument("--num_mlp_ext", action="store_true",
                     help="framework extension: MLP heads for the count-"
                          "comparison modules (must match the snapshot)")
+parser.add_argument("--num_res_ext", action="store_true",
+                    help="framework extension: residual MLP count-"
+                         "comparison heads (must match the snapshot)")
 parser.add_argument("--scene_bounded", action="store_true",
                     help="modifier on --scene_ext: sigmoid-bounded "
                          "objectness (experiments/clevr.py)")
@@ -37,6 +40,7 @@ import dataclasses
 from n2nmn_tpu.experiments import clevr
 
 cfg = clevr.ClevrConfig(num_mlp_ext=args.num_mlp_ext,
+                        num_res_ext=args.num_res_ext,
                         count_mlp_ext=args.count_mlp_ext,
                         scene_bounded=args.scene_bounded,
                         scene_ext=args.scene_ext)

@@ -27,6 +27,9 @@ parser.add_argument("--scene_ext", action="store_true",
 parser.add_argument("--num_mlp_ext", action="store_true",
                     help="framework extension: MLP heads for the count-"
                          "comparison modules (experiments/clevr.py)")
+parser.add_argument("--num_res_ext", action="store_true",
+                    help="framework extension: residual MLP count-"
+                         "comparison heads (experiments/clevr.py)")
 parser.add_argument("--scene_bounded", action="store_true",
                     help="modifier on --scene_ext: sigmoid-bounded "
                          "objectness (experiments/clevr.py)")
@@ -39,6 +42,7 @@ from n2nmn_tpu.experiments import clevr
 
 overrides = {"exp_name": args.exp_name, "seed": args.seed,
              "num_mlp_ext": args.num_mlp_ext,
+             "num_res_ext": args.num_res_ext,
              "count_mlp_ext": args.count_mlp_ext,
              "scene_bounded": args.scene_bounded,
              "scene_ext": args.scene_ext}

@@ -105,6 +105,11 @@ class ClevrConfig:
     # single-fc head cannot represent count equality — mini-CLEVR
     # measures _EqualNum ~68% under cloning with it.
     num_mlp_ext: bool = False
+    # FRAMEWORK EXTENSION (off = reference parity): residual MLP
+    # count-comparison heads (NMNConfig.num_res_ext) — parity linear
+    # path + zero-init MLP correction; supersedes num_mlp_ext (whose
+    # pure-MLP head loses the Less/More sum-difference shortcut).
+    num_res_ext: bool = False
     # FRAMEWORK EXTENSION (off = reference parity): learned objectness
     # _Scene attention (NMNConfig.scene_ext) — lifts the _Scene _Count
     # constant-attention floor.
@@ -156,14 +161,14 @@ def build_model(cfg: ClevrConfig, sampling: bool, T_decoder: int = None):
             H_feat=cfg.image_H // 32, W_feat=cfg.image_W // 32,
             D_feat=512, in_graph_vgg=True, num_mlp_ext=cfg.num_mlp_ext,
             scene_ext=cfg.scene_ext, count_mlp_ext=cfg.count_mlp_ext,
-            scene_bounded=cfg.scene_bounded)
+            scene_bounded=cfg.scene_bounded, num_res_ext=cfg.num_res_ext)
     else:
         model_cfg = NMNConfig(
             flavor="clevr", netgen=net_cfg, num_choices=num_choices,
             H_feat=cfg.H_feat, W_feat=cfg.W_feat, D_feat=cfg.D_feat,
             num_mlp_ext=cfg.num_mlp_ext, scene_ext=cfg.scene_ext,
             count_mlp_ext=cfg.count_mlp_ext,
-            scene_bounded=cfg.scene_bounded)
+            scene_bounded=cfg.scene_bounded, num_res_ext=cfg.num_res_ext)
     return NMNModel(model_cfg, grammar), grammar
 
 

@@ -31,13 +31,35 @@ SCENE_POS_VAL = 3.0  # reference SceneModule pos_val (nmn3_modules.py:60)
 NUM_EXT_HIDDEN = 128   # hidden width of the num_mlp extension heads
 
 
-def _init_pair_counts(key, hw, num_choices, num_mlp, dtype):
+def _init_pair_counts(key, hw, num_choices, num_mlp, dtype, num_res=False):
     """Head for _EqualNum/_MoreNum/_LessNum over the two concatenated
     count-feature vectors. The reference head is a single fc
     (nmn3_modules.py EqualNumModule et al.) — which provably cannot
     compute count equality (nonlinear in the pair). num_mlp=True is a
     FRAMEWORK EXTENSION (NMNConfig.num_mlp_ext, off by default for
-    parity): one hidden relu layer restores expressiveness."""
+    parity): one hidden relu layer restores expressiveness.
+
+    num_res=True (NMNConfig.num_res_ext) is the measured-better form:
+    the pure MLP head trades families — it learns count equality but
+    LOSES the linear head's exact sum(att1)-sum(att2) inductive bias
+    that makes the monotone _MoreNum/_LessNum comparisons easy
+    (flag_v21 seed 0 tst: parity Less/More 96/99% Equal 72%; MLP head
+    68/66/100% in the full-extension run). The residual form keeps the
+    parity linear path (fc_scores, SAME init stream, so at init the
+    head IS the parity head) and adds a zero-init MLP correction
+    (fc_hidden -> relu -> fc_res, fc_res starts at 0): monotone
+    comparisons retain their linear shortcut while equality gains the
+    nonlinear term."""
+    if num_res:
+        return {
+            "fc_scores": init_fc(key, 2 * (hw + 2), num_choices,
+                                 dtype=dtype),
+            "fc_hidden": init_fc(jax.random.fold_in(key, 1),
+                                 2 * (hw + 2), NUM_EXT_HIDDEN, dtype=dtype),
+            "fc_res": {"w": jnp.zeros((NUM_EXT_HIDDEN, num_choices),
+                                      dtype),
+                       "b": jnp.zeros((num_choices,), dtype)},
+        }
     if not num_mlp:
         return {"fc_scores": init_fc(key, 2 * (hw + 2), num_choices,
                                      dtype=dtype)}
@@ -50,7 +72,8 @@ def _init_pair_counts(key, hw, num_choices, num_mlp, dtype):
 
 def init_params(key, image_dim, text_dim, num_choices, hw,
                 map_dim=MAP_DIM, dtype=jnp.float32, num_mlp=False,
-                scene_ext=False, count_mlp=False, scene_bounded=False):
+                scene_ext=False, count_mlp=False, scene_bounded=False,
+                num_res=False):
     keys = jax.random.split(key, 24)
     k = iter(keys)
     extra = {}
@@ -115,11 +138,11 @@ def init_params(key, image_dim, text_dim, num_choices, hw,
                   {"fc_scores": init_fc(next(k), hw + 2, num_choices,
                                         dtype=dtype)}),
         "equal_num": _init_pair_counts(next(k), hw, num_choices, num_mlp,
-                                       dtype),
+                                       dtype, num_res=num_res),
         "more_num": _init_pair_counts(next(k), hw, num_choices, num_mlp,
-                                      dtype),
+                                      dtype, num_res=num_res),
         "less_num": _init_pair_counts(next(k), hw, num_choices, num_mlp,
-                                      dtype),
+                                      dtype, num_res=num_res),
         "same_property": {
             "fc_text": init_fc(next(k), text_dim, map_dim, dtype=dtype),
             "fc_att_0": init_fc(next(k), image_dim, map_dim, dtype=dtype),
@@ -298,11 +321,15 @@ def make_branches(params):
 
     def _pair_counts(name):
         def fn(pre, pre_t, in0, in1, t):
+            p = params[name]
             feats = jnp.concatenate(
                 [common.flat_min_max(in0), common.flat_min_max(in1)], axis=1)
-            if "fc_hidden" in params[name]:   # num_mlp extension head
-                feats = jax.nn.relu(_fc(params[name]["fc_hidden"], feats))
-            return _fc(params[name]["fc_scores"], feats)
+            if "fc_res" in p:   # num_res extension: linear + MLP residual
+                hid = jax.nn.relu(_fc(p["fc_hidden"], feats))
+                return _fc(p["fc_scores"], feats) + _fc(p["fc_res"], hid)
+            if "fc_hidden" in p:   # num_mlp extension head
+                feats = jax.nn.relu(_fc(p["fc_hidden"], feats))
+            return _fc(p["fc_scores"], feats)
         return fn
 
     def same_property(pre, pre_t, in0, in1, t):

@@ -62,6 +62,12 @@ class NMNConfig:
     # count equality (nmn3_modules.py EqualNumModule); one hidden relu
     # layer can (modules/clevr.py:_init_pair_counts).
     num_mlp_ext: bool = False
+    # FRAMEWORK EXTENSION (off = reference parity): residual MLP heads
+    # for the count-comparison modules — the parity linear path (exact
+    # sum-difference shortcut for _MoreNum/_LessNum) plus a zero-init
+    # MLP correction (equality). Supersedes num_mlp_ext, whose pure-MLP
+    # head trades families (modules/clevr.py:_init_pair_counts).
+    num_res_ext: bool = False
     # FRAMEWORK EXTENSION (off = reference parity): learned objectness
     # attention for _Scene. The reference SceneModule emits a constant
     # map (nmn3_modules.py:60-72), so Count over a Scene layout cannot
@@ -127,6 +133,7 @@ class NMNModel:
                 # pair-count heads and the constant-Scene branch; the
                 # extensions keep XLA
                 and not self.cfg.num_mlp_ext
+                and not self.cfg.num_res_ext
                 and not self.cfg.scene_ext
                 and not self.cfg.count_mlp_ext
                 and common.transform_impl_for_batch(n) == "conv")
@@ -139,6 +146,7 @@ class NMNModel:
         if cfg.flavor == "clevr":
             lib_kwargs["hw"] = cfg.H_feat * cfg.W_feat
             lib_kwargs["num_mlp"] = cfg.num_mlp_ext
+            lib_kwargs["num_res"] = cfg.num_res_ext
             lib_kwargs["scene_ext"] = cfg.scene_ext
             lib_kwargs["count_mlp"] = cfg.count_mlp_ext
             lib_kwargs["scene_bounded"] = cfg.scene_bounded

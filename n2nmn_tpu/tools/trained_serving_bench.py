@@ -51,6 +51,8 @@ def main():
                    help="framework extension (must match the snapshot)")
     p.add_argument("--num_mlp_ext", action="store_true",
                    help="framework extension (must match the snapshot)")
+    p.add_argument("--num_res_ext", action="store_true",
+                   help="framework extension (must match the snapshot)")
     p.add_argument("--count_mlp_ext", action="store_true",
                    help="framework extension (must match the snapshot)")
     p.add_argument("--scene_bounded", action="store_true",
@@ -65,6 +67,7 @@ def main():
     cfg = clevr.ClevrConfig(root=args.data_root,
                             scene_ext=args.scene_ext,
                             num_mlp_ext=args.num_mlp_ext,
+                            num_res_ext=args.num_res_ext,
                             count_mlp_ext=args.count_mlp_ext,
                             scene_bounded=args.scene_bounded)
     imdb = clevr._load_imdb(cfg, f"data/imdb/imdb_{args.split}.npy")

@@ -188,3 +188,11 @@ def test_extension_flags_reach_model(image_root):
         assert "scene_b" in params["modules"]
         assert "fc_hidden" in params["modules"]["count"]
         assert "fc_hidden" in params["modules"]["equal_num"]
+
+    # num_res_ext (residual comparison heads) reaches the model too
+    cfg_res = _tiny_cfg(image_root, num_res_ext=True)
+    for from_images in (True, False):
+        c = dataclasses.replace(cfg_res, from_images=from_images)
+        model, _ = clevr.build_model(c, sampling=False)
+        params = model.init(jax.random.PRNGKey(0))
+        assert "fc_res" in params["modules"]["equal_num"]

@@ -170,6 +170,59 @@ def test_num_mlp_ext_heads():
         grads["modules"]["equal_num"]["fc_hidden"]["w"]) != 0)
 
 
+def test_num_res_ext_heads():
+    """num_res_ext (framework extension): residual MLP count-comparison
+    heads — the parity linear path plus a ZERO-INIT MLP correction, so
+    at init the model is exactly the parity model (same fc_scores
+    stream, fc_res = 0) and the Less/More sum-difference shortcut is
+    preserved while equality gains a nonlinear term."""
+    model, grammar = build("clevr", num_res_ext=True)
+    params, out = run(model)
+    for name in ("equal_num", "more_num", "less_num"):
+        head = params["modules"][name]
+        assert "fc_res" in head and "fc_hidden" in head
+        # parity-shaped linear path, zero-init residual projection
+        assert head["fc_scores"]["w"].shape[0] == 2 * (3 * 4 + 2)
+        assert np.all(np.asarray(head["fc_res"]["w"]) == 0)
+
+    # at init the residual model's outputs equal the parity model's
+    parity_model, _ = build("clevr")
+    parity_params, parity_out = run(parity_model)
+    np.testing.assert_array_equal(
+        np.asarray(parity_params["modules"]["equal_num"]["fc_scores"]["w"]),
+        np.asarray(params["modules"]["equal_num"]["fc_scores"]["w"]))
+    np.testing.assert_allclose(np.asarray(out.scores),
+                               np.asarray(parity_out.scores), atol=0)
+
+    # gradient reaches both the residual projection and (through it)
+    # the hidden layer on an _EqualNum layout
+    rng = np.random.RandomState(0)
+    N, T_enc = 4, 7
+    text = jnp.asarray(rng.randint(0, 20, size=(T_enc, N)), jnp.int32)
+    lengths = jnp.asarray(rng.randint(2, T_enc + 1, size=N), jnp.int32)
+    image = jnp.asarray(rng.randn(N, 3, 4, 8), jnp.float32)
+    gt = np.full((8, N), grammar.eos_idx, np.int32)
+    gt[0] = grammar.name2idx["_Find"]
+    gt[1] = grammar.name2idx["_Find"]
+    gt[2] = grammar.name2idx["_EqualNum"]
+
+    def loss(p):
+        o = model.apply(p, text, lengths, image, jax.random.PRNGKey(1),
+                        gt_layout=jnp.asarray(gt), use_gt_layout=True)
+        return jnp.sum(o.scores ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert np.any(np.asarray(
+        grads["modules"]["equal_num"]["fc_res"]["w"]) != 0)
+    # fc_hidden's grad is zero exactly at fc_res=0; one SGD step on
+    # fc_res unblocks it
+    stepped = jax.tree_util.tree_map(lambda p, g: p - 0.1 * g, params,
+                                     grads)
+    grads2 = jax.grad(loss)(stepped)
+    assert np.any(np.asarray(
+        grads2["modules"]["equal_num"]["fc_hidden"]["w"]) != 0)
+
+
 def test_scene_ext_learned_attention():
     """scene_ext (framework extension) replaces the constant _Scene
     attention with a learned objectness map; parity config keeps the
