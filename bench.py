@@ -344,7 +344,9 @@ def main():
     if pipelined_qps > fused_qps:
         qps = pipelined_qps
         serving_mode = "pipelined (2x512 in flight, one program)"
-        mfu = mfu * pipelined_qps / fused_qps
+        # MFU directly from the headline qps: flops/query is identical in
+        # both serving modes (same model program) — ADVICE r4
+        mfu = (flops_per_q * pipelined_qps) / V5E_BF16_PEAK_FLOPS
     else:
         qps = fused_qps
         serving_mode = f"fused single batch N={best_n}"
@@ -378,6 +380,8 @@ def main():
         "serving_mode": serving_mode,
         "fused_qps": round(fused_qps, 2),
         "pipelined_qps": round(pipelined_qps, 2),
+        # eval_batch/qps_per_batch describe the FUSED single-batch sweep
+        # even when the headline qps/mfu are pipelined (ADVICE r4)
         "eval_batch": best_n,
         "qps_per_batch": {str(k): round(v, 1)
                           for k, v in per_batch.items()},

@@ -12,6 +12,11 @@ parser.add_argument("--data_root", type=str, default=None)
 parser.add_argument("--imdb_trn", type=str, default=None,
                     help="training imdb path relative to the data root "
                          "(e.g. data/imdb/imdb_trn.npy for mini-VQA)")
+parser.add_argument("--seed", type=int, default=None)
+parser.add_argument("--device_data_bf16", action="store_true",
+                    help="chunked device-resident trainer w/ bf16 image "
+                         "staging + on-device answer sampling (required "
+                         "at the real 14x14x2048 geometry)")
 parser.add_argument("--from_images", action="store_true",
                     help="raw COCO images via in-graph frozen ResNet-152")
 parser.add_argument("--resnet_weights", type=str, default=None)
@@ -27,6 +32,10 @@ if args.data_root is not None:
     cfg = dataclasses.replace(cfg, root=args.data_root)
 if args.imdb_trn is not None:
     cfg = dataclasses.replace(cfg, imdb_trn=args.imdb_trn)
+if args.seed is not None:
+    cfg = dataclasses.replace(cfg, seed=args.seed)
+if args.device_data_bf16:
+    cfg = dataclasses.replace(cfg, device_data_bf16=True)
 if args.from_images:
     cfg = dataclasses.replace(cfg, from_images=True,
                               resnet_weights=args.resnet_weights)

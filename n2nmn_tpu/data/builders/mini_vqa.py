@@ -45,6 +45,30 @@ COLORS = ["red", "blue", "green", "yellow", "purple"]
 SHAPES = ["cube", "sphere", "cylinder", "cone"]
 GRID = 6
 D_FEAT = 16
+
+# ---- flagship geometry (VERDICT r4 missing #2) ----
+# Same grid-world semantics rendered at the REAL VQA feature geometry:
+# 14x14x2048 res5c features with the real 17742-word question vocabulary,
+# real 3001-answer list (vendored exp_vqa/data/, reference
+# exp_vqa/data/{vocabulary_vqa,answers_vqa}.txt) and fake-GloVe-300 init
+# for the full vocab — so the trained model has flagship-sized tensors
+# end to end (17742x300 embedding, lstm 1000, 2048-channel modules,
+# 3001-way head; reference train_vqa_gt_layout.py:23-59).
+#
+# Renderer applies the CLEVR-flagship v2.1 lessons (mini_clevr.py):
+# the 2038 extra channels are a FIXED nonneg ReLU projection of the 10
+# semantic channels (a frozen "backbone head" shared by the dataset —
+# res5c-like: correlated, signal-bearing, deterministic of the image; NO
+# per-image noise), and scenes are shared across several questions
+# (q_per_image) so an image fingerprint cannot determine the answer.
+# Semantic cells render as 2x2 blocks: 7x7 grid -> 14x14 cells.
+FLAG_GRID = 7
+FLAG_H = FLAG_W = 14
+FLAG_D = 2048
+FLAG_BLOCK = 2
+# cube/sphere/cylinder are NOT in the real 3001-answer list; these four
+# are in both the real vocab and the real answers (checked at build time)
+FLAG_SHAPES = ["circle", "square", "triangle", "star"]
 ANNOTATOR_P = 0.85     # per-annotator probability of the true answer
 JUNK_P = 0.02          # probability an annotator answer is OOV junk
 NUM_ANNOTATORS = 10
@@ -201,6 +225,34 @@ def annotate(rng, answer):
     return out
 
 
+def make_flagship_projection(seed=4321):
+    """Frozen dataset 'backbone head': 10 semantic channels -> the 2038
+    extra res5c-like channels (cf. mini_clevr.make_flagship_projection;
+    independent seed so CLEVR/VQA flagship sets differ)."""
+    prng = np.random.RandomState(seed)
+    W = (prng.randn(10, FLAG_D - 10) / np.sqrt(10)).astype(np.float32)
+    b = (prng.randn(FLAG_D - 10) * 0.1 - 0.1).astype(np.float32)
+    return W, b
+
+
+def render_features_flagship(scene, proj, shapes):
+    W, b = proj
+    sem = np.zeros((FLAG_H, FLAG_W, 10), np.float32)
+    for (r, c), (color, shape) in scene.items():
+        rs, cs = r * FLAG_BLOCK, c * FLAG_BLOCK
+        sem[rs:rs + FLAG_BLOCK, cs:cs + FLAG_BLOCK,
+            COLORS.index(color)] = 1.0
+        sem[rs:rs + FLAG_BLOCK, cs:cs + FLAG_BLOCK,
+            5 + shapes.index(shape)] = 1.0
+        sem[rs:rs + FLAG_BLOCK, cs:cs + FLAG_BLOCK, 9] = 1.0  # occupancy
+    feat = np.empty((FLAG_H, FLAG_W, FLAG_D), np.float32)
+    feat[:, :, :10] = sem
+    # ReLU projection: sparse, nonneg, attribute-dependent — like res5c;
+    # deliberately NO per-image noise (mini_clevr.py v2.1 note)
+    feat[:, :, 10:] = np.maximum(sem @ W + b, 0.0)
+    return feat
+
+
 def make_glove(vocab_words, rng, dim=300):
     """Fake GloVe matrix [V, dim]: seeded unit gaussian rows (the real
     one comes from spaCy, reference
@@ -213,8 +265,47 @@ def make_glove(vocab_words, rng, dim=300):
 
 
 def generate(out_root, num_train=30000, num_val=3000, num_test=3000,
-             seed=0):
+             seed=0, flagship=False, q_per_image=1,
+             real_vqa_data="./exp_vqa/data"):
+    """flagship=True renders at the real 14x14x2048 geometry with the
+    real (vendored) 17742-word vocabulary and 3001-answer list, sharing
+    each scene across q_per_image questions (>=4 forced — the CLEVR
+    flagship fingerprint lesson, mini_clevr.py v2 note). Temporarily
+    rebinds the module's world globals (single-process builder CLI)."""
+    global SHAPES, GRID, ANSWERS, JUNK
+    saved = (SHAPES, GRID, ANSWERS, JUNK)
     rng = np.random.RandomState(seed)
+    real_vocab = None
+    if flagship:
+        proj = make_flagship_projection()
+        SHAPES = FLAG_SHAPES
+        GRID = FLAG_GRID
+        q_per_image = max(q_per_image, 4)
+        with open(os.path.join(real_vqa_data, "vocabulary_vqa.txt")) as f:
+            real_vocab = [l.rstrip("\n") for l in f if l.strip()]
+        with open(os.path.join(real_vqa_data, "answers_vqa.txt")) as f:
+            ANSWERS = [l.rstrip("\n") for l in f if l.strip()]
+        assert ANSWERS[0] == "<unk>", "answers must start with <unk>"
+        missing = [w for w in COLORS + FLAG_SHAPES + ["yes", "no"]
+                   + [str(i) for i in range(10)]
+                   if w not in set(ANSWERS)]
+        assert not missing, f"template answers not in real list: {missing}"
+        # junk must stay OOV to exercise the <unk> mapping; 'maybe'/
+        # 'nothing' ARE real VQA answers
+        JUNK = ["dunno", "blorp", "xyzzy"]
+        render = lambda scene: render_features_flagship(scene, proj,
+                                                        FLAG_SHAPES)
+    else:
+        render = lambda scene: render_features(scene, rng)
+    try:
+        return _generate(out_root, num_train, num_val, num_test, rng,
+                         render, q_per_image, real_vocab)
+    finally:
+        SHAPES, GRID, ANSWERS, JUNK = saved
+
+
+def _generate(out_root, num_train, num_val, num_test, rng, render,
+              q_per_image, real_vocab):
     os.makedirs(os.path.join(out_root, "data", "imdb"), exist_ok=True)
     feat_dir = os.path.join(out_root, "features")
     os.makedirs(feat_dir, exist_ok=True)
@@ -228,52 +319,68 @@ def generate(out_root, num_train=30000, num_val=3000, num_test=3000,
         records = []
         while len(records) < n:
             scene = sample_scene(rng)
-            tmpl = TEMPLATES[rng.randint(len(TEMPLATES))]
-            result = tmpl(rng, scene)
-            if result is None:
+            # draw up to q_per_image distinct questions on this scene
+            # BEFORE rendering, so scenes supporting no template are
+            # skipped without writing a feature file
+            drawn, seen_q = [], set()
+            for _ in range(6 * q_per_image):
+                if len(drawn) >= min(q_per_image, n - len(records)):
+                    break
+                result = TEMPLATES[rng.randint(len(TEMPLATES))](rng, scene)
+                if result is None or result[1] in seen_q:
+                    continue
+                seen_q.add(result[1])
+                drawn.append(result)
+            if not drawn:
                 continue
-            layout, question, answer, att_words = result
-            feats = render_features(scene, rng)
             name = f"mv{img_count:06d}"
             img_count += 1
             path = os.path.join(feat_dir, name + ".npy")
-            np.save(path, feats[None])
-            tokens = question.split()
-            vocab.update(tokens)
-            # per-decoder-step gt text-attention spans: the question
-            # word that parameterizes each module, as (t0, t1), or None
-            # (reference util/vqa_train/data_reader.py:25-27 format)
-            gt_txtatt = []
-            for aw in att_words:
-                if aw is None:
-                    gt_txtatt.append(None)
-                else:
-                    i = tokens.index(aw)
-                    gt_txtatt.append((i, i + 1))
-            all_answers = annotate(rng, answer)
-            # imdb-builder contract: answers outside the vocab map to
-            # <unk> (reference exp_vqa/data/build_vqa_imdb.py:66-73)
-            valid_answers = [a if a in ANSWERS else "<unk>"
-                             for a in all_answers]
-            records.append({
-                "image_name": name, "image_path": name + ".png",
-                "feature_path": path, "question_id": qid_count,
-                "question_str": question, "question_tokens": tokens,
-                "all_answers": all_answers,
-                "valid_answers": valid_answers,
-                "gt_layout_tokens": layout,
-                "gt_txtatt": gt_txtatt,
-            })
-            qid_count += 1
+            np.save(path, render(scene)[None])
+            for layout, question, answer, att_words in drawn:
+                tokens = question.split()
+                vocab.update(tokens)
+                # per-decoder-step gt text-attention spans: the question
+                # word that parameterizes each module, as (t0, t1), or
+                # None (reference util/vqa_train/data_reader.py:25-27)
+                gt_txtatt = []
+                for aw in att_words:
+                    if aw is None:
+                        gt_txtatt.append(None)
+                    else:
+                        i = tokens.index(aw)
+                        gt_txtatt.append((i, i + 1))
+                all_answers = annotate(rng, answer)
+                # imdb-builder contract: answers outside the vocab map to
+                # <unk> (reference exp_vqa/data/build_vqa_imdb.py:66-73)
+                answer_set = set(ANSWERS)
+                valid_answers = [a if a in answer_set else "<unk>"
+                                 for a in all_answers]
+                records.append({
+                    "image_name": name, "image_path": name + ".png",
+                    "feature_path": path, "question_id": qid_count,
+                    "question_str": question, "question_tokens": tokens,
+                    "all_answers": all_answers,
+                    "valid_answers": valid_answers,
+                    "gt_layout_tokens": layout,
+                    "gt_txtatt": gt_txtatt,
+                })
+                qid_count += 1
         return np.array(records)
 
     for tag, n in [("trn", num_train), ("val", num_val),
                    ("tst", num_test)]:
         np.save(os.path.join(out_root, "data", "imdb",
                              f"imdb_{tag}.npy"), make_records(n))
-        print(f"{tag}: {n} questions", flush=True)
+        print(f"{tag}: {n} questions ({img_count} images so far)",
+              flush=True)
 
-    vocab_words = ["<unk>"] + sorted(vocab)
+    if real_vocab is not None:
+        vocab_words = real_vocab
+        oov = sorted(vocab - set(real_vocab))
+        assert not oov, f"generated question words not in real vocab: {oov}"
+    else:
+        vocab_words = ["<unk>"] + sorted(vocab)
     with open(os.path.join(out_root, "data",
                            "vocabulary_vqa.txt"), "w") as f:
         f.writelines(w + "\n" for w in vocab_words)
@@ -295,6 +402,18 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--out_root", default="./exp_vqa_mini")
     p.add_argument("--num_train", type=int, default=30000)
+    p.add_argument("--num_val", type=int, default=3000)
+    p.add_argument("--num_test", type=int, default=3000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--flagship", action="store_true",
+                   help="render at the real VQA geometry (14x14x2048, "
+                        "real 17742-word vocab, 3001 answers) — see "
+                        "render_features_flagship")
+    p.add_argument("--q_per_image", type=int, default=1,
+                   help="questions sharing one scene (flagship forces "
+                        ">=4)")
     args = p.parse_args()
-    generate(args.out_root, num_train=args.num_train, seed=args.seed)
+    generate(args.out_root, num_train=args.num_train,
+             num_val=args.num_val, num_test=args.num_test,
+             seed=args.seed, flagship=args.flagship,
+             q_per_image=args.q_per_image)

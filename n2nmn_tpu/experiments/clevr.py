@@ -232,7 +232,8 @@ def _train_device_resident(cfg, model, grammar, imdb, state, tx, use_gt,
     chunks that index batches on-device. Same bodies as the reader path
     (train/steps.py cloning_step_body / rl_step_body)."""
     from n2nmn_tpu.train.steps import (cloning_step_body,
-                                       make_chunked_trainer, rl_step_body)
+                                       drive_chunked_training,
+                                       rl_step_body)
 
     sreader = make_reader(cfg, imdb, grammar,
                           load_gt_layout=use_gt or None,
@@ -267,7 +268,11 @@ def _train_device_resident(cfg, model, grammar, imdb, state, tx, use_gt,
                     continue
                 ax = 1 if k in time_major else 0
                 keep = np.take(v, np.arange(n), axis=ax)
-                fill = np.take(first[k], np.arange(N - n), axis=ax)
+                # dedup already popped 'image' from staged batches; the
+                # fill rows' paths (first_paths) are all in uid, so their
+                # image VALUES are never read — any placeholder rows do
+                fill = np.take(first[k] if k in first else v,
+                               np.arange(N - n), axis=ax)
                 batch[k] = np.concatenate([keep, fill], axis=ax)
             if dedup:
                 paths = list(paths[:n]) + list(first_paths[:N - n])
@@ -325,49 +330,8 @@ def _train_device_resident(cfg, model, grammar, imdb, state, tx, use_gt,
         batch["image"] = batch["image"].astype(jnp.float32)
         return inner(state, batch)
 
-    C = cfg.chunk_steps or max(cfg.log_interval, 200)
-    L = cfg.log_interval
-    chunk = make_chunked_trainer(body, device_data, B, C,
-                                 shared_data=shared)
-    chunk_last = None
-    n_iter = 0
-    while n_iter < cfg.max_iter:
-        k = min(C, cfg.max_iter - n_iter)
-        if k < C:
-            if chunk_last is None:
-                chunk_last = make_chunked_trainer(body, device_data, B, k,
-                                                  shared_data=shared)
-            state, auxs = chunk_last(state, jnp.asarray(n_iter % B))
-        else:
-            state, auxs = chunk(state, jnp.asarray(n_iter % B))
-        auxs = jax.tree_util.tree_map(np.asarray, auxs)
-        # replay the chunk's per-step aux rows at the reference log
-        # cadence (EMA per iteration, print/log every L)
-        for i in range(k):
-            avg_acc = logger.update_accuracy(float(auxs["accuracy"][i]))
-            it = n_iter + i + 1
-            if it % L == 0 or it == cfg.max_iter:
-                print("iter = %d\n\tloss = %f, accuracy (cur) = %f, "
-                      "accuracy (avg) = %f, entropy = %f, validity = %f"
-                      % (it, float(auxs["loss"][i]),
-                         float(auxs["accuracy"][i]), avg_acc,
-                         float(auxs["entropy"][i]),
-                         float(auxs["validity"][i])), flush=True)
-                logger.log(it,
-                           {**{key: float(v[i])
-                               for key, v in auxs.items()},
-                            "avg_accuracy": avg_acc,
-                            "baseline": float(state.baseline)})
-        n_iter += k
-        if (n_iter % cfg.snapshot_interval < k
-                or n_iter == cfg.max_iter):
-            path = snapshot_path(snapshot_dir, n_iter)
-            save_params(path, state.params,
-                        extra={"baseline": state.baseline})
-            print("snapshot saved to " + path, flush=True)
-
-    logger.close()
-    return state
+    return drive_chunked_training(body, device_data, shared, state, cfg,
+                                  logger, snapshot_dir)
 
 
 def train(cfg: ClevrConfig, pretrained_model: Optional[str] = None):
@@ -388,7 +352,9 @@ def train(cfg: ClevrConfig, pretrained_model: Optional[str] = None):
     if pretrained_model:
         # warm start: restore everything except the RL baseline
         # (reference train_clevr_rl_gt_layout.py:177-179)
-        params, _ = load_params(pretrained_model, params)
+        params, _ = load_params(
+            pretrained_model, params,
+            allow_missing=("vgg/", "resnet/") if cfg.from_images else ())
         print(f"restored pretrained model from {pretrained_model}")
     tx = make_optimizer(cfg.learning_rate, cfg.max_grad_l2_norm)
     state = create_train_state(
@@ -454,6 +420,30 @@ def evaluate(cfg: ClevrConfig, exp_name, snapshot_name, test_split,
     """Greedy eval at T_decoder=20 (reference eval_clevr.py:26-36);
     reports answer/layout accuracy + validity, writes the one-answer-per-
     line prediction file for the CLEVR grader."""
+    return evaluate_many(cfg, exp_name, [snapshot_name], test_split,
+                         T_decoder=T_decoder,
+                         save_eval_outputs=save_eval_outputs)[snapshot_name]
+
+
+def evaluate_many(cfg: ClevrConfig, exp_name, snapshot_names, test_split,
+                  T_decoder=20, save_eval_outputs=True,
+                  dump_layouts=False):
+    """Evaluate several snapshots of one experiment over one split.
+
+    Builds the model and stages the split's batches ONCE, then runs each
+    snapshot's eval over the cached batches — a select-by-validation
+    sweep over an N-snapshot chain costs one data pass + N device evals
+    instead of N full (model + reader + compile) rebuilds. Semantics per
+    snapshot are identical to ``evaluate`` (greedy decode, reference
+    eval_clevr.py:26-36,119-122).
+
+    dump_layouts=True additionally writes
+    results/<exp>/<snap>.<split>.layouts.npz with the per-question
+    gt/predicted token matrices + answer correctness, for layout-shift
+    analysis of RL runs (which may abandon expert layouts for invented
+    programs — the N2NMN thesis, reference README.md:85-95).
+    Returns {snapshot_name: results dict}.
+    """
     imdb = _load_imdb(cfg, f"data/imdb/imdb_{test_split}.npy")
     if not cfg.from_images:
         cfg = infer_feature_dims(cfg, imdb)
@@ -461,86 +451,117 @@ def evaluate(cfg: ClevrConfig, exp_name, snapshot_name, test_split,
     reader = make_reader(cfg, imdb, grammar, shuffle=False,
                          one_pass=True, T_decoder=T_decoder)
     loader = reader.batch_loader
-
-    params_t = model.init(jax.random.PRNGKey(0))
-    snapshot_file = os.path.join(cfg.root, "tfmodel", exp_name,
-                                 snapshot_name)
-    # a from_images eval can restore a snapshot trained on feature grids:
-    # such a snapshot has no 'vgg' subtree, so partial restore leaves the
-    # backbone at its init and _load_vgg_weights below installs it
-    params, _ = load_params(snapshot_file, params_t)
-    if cfg.from_images and cfg.vgg_weights:
-        params = _load_vgg_weights(cfg, params)
-    eval_step = make_eval_step(model)
-    rng = jax.random.PRNGKey(0)
-
-    answer_correct = layout_correct = layout_valid = num_questions = 0
-    answer_word_list = loader.answer_dict.word_list
-    output_answers = []
-    from collections import defaultdict
-    family_correct = defaultdict(int)
-    family_total = defaultdict(int)
-
+    cached = []
     for batch in reader.batches():
         n = batch.pop("n_real")
         batch.pop("image_path", None)
         gt_layout = batch.pop("gt_layout", None)
-        labels = batch.get("label")
-        out = eval_step(params, batch, rng)
-        tokens = np.asarray(out["tokens"])[:, :n]
-        validity = np.asarray(out["validity"])[:n]
-        preds = np.asarray(out["predictions"])[:n]
-        num_questions += n
-        layout_valid += int(np.sum(validity))
-        if gt_layout is not None:
-            gt = gt_layout[:, :n]
-            # layout accuracy ignores positions where gt is <eos>
-            # (reference eval_clevr.py:119-122)
-            t = min(tokens.shape[0], gt.shape[0])
-            match = np.logical_or(tokens[:t] == gt[:t],
-                                  gt[:t] == grammar.eos_idx)
-            layout_correct += int(np.sum(np.all(match, axis=0)))
-        if labels is not None:
-            correct = np.logical_and(validity,
-                                     preds == np.asarray(labels)[:n])
-            answer_correct += int(np.sum(correct))
-            if gt_layout is not None:
-                # per-program-family accuracy (family = gt layout without
-                # the <eos> padding)
-                for i in range(n):
-                    toks = gt_layout[:, i]
-                    fam = " ".join(
-                        grammar.module_names[t] for t in toks
-                        if t != grammar.eos_idx)
-                    family_total[fam] += 1
-                    family_correct[fam] += int(correct[i])
-        output_answers += [answer_word_list[p] for p in preds]
+        # stage once on device: snapshots 2..N then cost zero h2d
+        # (the flagship val split is ~1.2 GB and this tunnel moves
+        # ~40 MB/s — per-snapshot re-upload would dominate the sweep)
+        cached.append((jax.device_put(batch), n, gt_layout))
 
-    results = {
-        "answer_accuracy": answer_correct / max(num_questions, 1),
-        "layout_accuracy": layout_correct / max(num_questions, 1),
-        "layout_validity": layout_valid / max(num_questions, 1),
-        "num_questions": num_questions,
-    }
-    save_dir = os.path.join(cfg.root, "results", exp_name)
-    os.makedirs(save_dir, exist_ok=True)
-    save_file = os.path.join(save_dir,
-                             f"{snapshot_name}.{test_split}.txt")
-    with open(save_file, "w") as f:
-        for k, v in results.items():
-            line = f"{k.replace('_', ' ')} = {v} on {test_split}"
-            print(line)
-            print(line, file=f)
-        for fam in sorted(family_total):
-            line = (f"  [{fam}] {family_correct[fam]}/"
-                    f"{family_total[fam]} = "
-                    f"{family_correct[fam] / family_total[fam]:.4f}")
-            print(line)
-            print(line, file=f)
-    if save_eval_outputs:
-        out_dir = os.path.join(cfg.root, "eval_outputs", exp_name)
-        os.makedirs(out_dir, exist_ok=True)
-        with open(os.path.join(
-                out_dir, f"{snapshot_name}.{test_split}.txt"), "w") as f:
-            f.write("\n".join(output_answers) + "\n")
-    return results
+    params_t = model.init(jax.random.PRNGKey(0))
+    eval_step = make_eval_step(model)
+    rng = jax.random.PRNGKey(0)
+    answer_word_list = loader.answer_dict.word_list
+    from collections import defaultdict
+
+    all_results = {}
+    for snapshot_name in snapshot_names:
+        snapshot_file = os.path.join(cfg.root, "tfmodel", exp_name,
+                                     snapshot_name)
+        # a from_images eval can restore a snapshot trained on feature
+        # grids: such a snapshot has no 'vgg' subtree, so partial restore
+        # leaves the backbone at its init and _load_vgg_weights installs it
+        params, _ = load_params(
+            snapshot_file, params_t,
+            allow_missing=("vgg/", "resnet/") if cfg.from_images else ())
+        if cfg.from_images and cfg.vgg_weights:
+            params = _load_vgg_weights(cfg, params)
+
+        answer_correct = layout_correct = layout_valid = num_questions = 0
+        output_answers = []
+        family_correct = defaultdict(int)
+        family_total = defaultdict(int)
+        family_layout_correct = defaultdict(int)
+        dump_gt, dump_pred, dump_ok, dump_valid = [], [], [], []
+
+        for batch, n, gt_layout in cached:
+            labels = batch.get("label")
+            out = eval_step(params, batch, rng)
+            tokens = np.asarray(out["tokens"])[:, :n]
+            validity = np.asarray(out["validity"])[:n]
+            preds = np.asarray(out["predictions"])[:n]
+            num_questions += n
+            layout_valid += int(np.sum(validity))
+            layout_match = None
+            if gt_layout is not None:
+                gt = gt_layout[:, :n]
+                # layout accuracy ignores positions where gt is <eos>
+                # (reference eval_clevr.py:119-122)
+                t = min(tokens.shape[0], gt.shape[0])
+                match = np.logical_or(tokens[:t] == gt[:t],
+                                      gt[:t] == grammar.eos_idx)
+                layout_match = np.all(match, axis=0)
+                layout_correct += int(np.sum(layout_match))
+            if labels is not None:
+                correct = np.logical_and(validity,
+                                         preds == np.asarray(labels)[:n])
+                answer_correct += int(np.sum(correct))
+                if gt_layout is not None:
+                    # per-program-family accuracy (family = gt layout
+                    # without the <eos> padding)
+                    for i in range(n):
+                        toks = gt_layout[:, i]
+                        fam = " ".join(
+                            grammar.module_names[t] for t in toks
+                            if t != grammar.eos_idx)
+                        family_total[fam] += 1
+                        family_correct[fam] += int(correct[i])
+                        family_layout_correct[fam] += int(layout_match[i])
+                if dump_layouts and gt_layout is not None:
+                    dump_gt.append(gt_layout[:, :n].T)
+                    dump_pred.append(tokens.T)
+                    dump_ok.append(correct)
+                    dump_valid.append(validity)
+            output_answers += [answer_word_list[p] for p in preds]
+
+        results = {
+            "answer_accuracy": answer_correct / max(num_questions, 1),
+            "layout_accuracy": layout_correct / max(num_questions, 1),
+            "layout_validity": layout_valid / max(num_questions, 1),
+            "num_questions": num_questions,
+        }
+        save_dir = os.path.join(cfg.root, "results", exp_name)
+        os.makedirs(save_dir, exist_ok=True)
+        save_file = os.path.join(save_dir,
+                                 f"{snapshot_name}.{test_split}.txt")
+        with open(save_file, "w") as f:
+            for k, v in results.items():
+                line = f"{k.replace('_', ' ')} = {v} on {test_split}"
+                print(line)
+                print(line, file=f)
+            for fam in sorted(family_total):
+                line = (f"  [{fam}] {family_correct[fam]}/"
+                        f"{family_total[fam]} = "
+                        f"{family_correct[fam] / family_total[fam]:.4f}")
+                print(line)
+                print(line, file=f)
+        if dump_layouts and dump_gt:
+            np.savez(os.path.join(
+                save_dir, f"{snapshot_name}.{test_split}.layouts.npz"),
+                gt=np.concatenate(dump_gt).astype(np.int16),
+                pred=np.concatenate(dump_pred).astype(np.int16),
+                answer_correct=np.concatenate(dump_ok),
+                validity=np.concatenate(dump_valid),
+                module_names=np.array(grammar.module_names))
+        if save_eval_outputs:
+            out_dir = os.path.join(cfg.root, "eval_outputs", exp_name)
+            os.makedirs(out_dir, exist_ok=True)
+            with open(os.path.join(
+                    out_dir, f"{snapshot_name}.{test_split}.txt"),
+                    "w") as f:
+                f.write("\n".join(output_answers) + "\n")
+        all_results[snapshot_name] = results
+    return all_results

@@ -67,6 +67,19 @@ class VqaConfig:
     # driver consumes them — this flag makes them consumable). 0 = off.
     txtatt_loss_weight: float = 0.0
     seed: int = 0
+    # Chunked device-resident trainer (train/steps.py:make_chunked_trainer
+    # — the CLEVR-flagship path, experiments/clevr.py): stage one shuffled
+    # epoch in HBM with image dedup and scan chunk_steps optimizer steps
+    # per dispatch. At the real 14x14x2048 geometry a streamed batch is
+    # ~100 MB of host->device traffic per step — device residency is the
+    # only way this trains on the tunnel. Answer sampling (reference
+    # util/vqa_train/data_reader.py:106-109 draws one of the 10 annotator
+    # answers per iteration) moves ON DEVICE: the staged [N, 10] answer
+    # table is sampled per step, preserving per-iteration semantics.
+    device_data: bool = False
+    device_data_bf16: bool = False
+    device_data_dedup: bool = True
+    chunk_steps: int = 0
     imdb_trn: str = "data/imdb/imdb_trainval2014.npy"
     glove_mat_file: str = "data/vocabulary_vqa_glove.npy"
     packed_features: Optional[str] = None
@@ -199,6 +212,141 @@ def maybe_load_glove(cfg: VqaConfig, params):
     return params
 
 
+def _train_device_resident(cfg, model, grammar, imdb, state, tx, use_gt,
+                           snapshot_dir, logger):
+    """Chunked device-resident trainer for VQA (cfg.device_data; same
+    staging/dedup/chunk design as experiments/clevr.py, which replaced
+    the reference's per-iteration host feed — at 14x14x2048 a streamed
+    batch is ~100 MB of h2d per step). VQA-specific: the annotators'
+    answers are staged as an int32 [N, 10] table and ONE is sampled ON
+    DEVICE per step, preserving the reference's per-iteration answer
+    sampling (util/vqa_train/data_reader.py:106-109)."""
+    from n2nmn_tpu.train.steps import (cloning_step_body,
+                                       drive_chunked_training,
+                                       rl_step_body)
+
+    use_txtatt = cfg.mode == "cloning" and cfg.txtatt_loss_weight > 0
+    sreader = make_reader(cfg, imdb, grammar,
+                          load_gt_layout=True if use_gt else None,
+                          shuffle=True, one_pass=True)
+    answer_dict = sreader.batch_loader.answer_dict
+
+    def n_axis(k):
+        # question-index axis per key (text_seq/gt_layout are time-major
+        # [T, N]; gt_txtatt is [Td, Te, N])
+        return {"text_seq": 1, "gt_layout": 1, "gt_txtatt": 2}.get(k, 0)
+
+    dedup = cfg.device_data_dedup
+    uid, uniq_images = {}, []
+    staged, first_paths = [], None
+    n_answers = 0
+    for batch in sreader.batches():
+        n = batch.pop("n_real", None)
+        paths = batch.pop("image_path", None)
+        for k in ("qid", "qstr", "binary_label", "all_answers", "label"):
+            batch.pop(k, None)   # label is re-sampled on device per step
+        valid = batch.pop("valid_answers")
+        if not use_txtatt:
+            batch.pop("gt_txtatt", None)
+        if not use_gt:
+            batch.pop("gt_layout", None)
+        if dedup and (paths is None or any(p is None for p in paths)):
+            assert not staged, "image_path vanished mid-epoch"
+            dedup = False
+        N = batch["seq_length"].shape[0]
+        # answer table [N, A]: pad a short annotator list by cycling it
+        # (uniform sampling over the table = uniform over the list)
+        if not n_answers:
+            n_answers = max((len(v) for v in valid if v), default=1)
+        tab = np.zeros((N, n_answers), np.int32)
+        for i, v in enumerate(valid):
+            if v is None or len(v) == 0:
+                v = ["<unk>"]
+            idxs = [answer_dict.word2idx(a) for a in v]
+            tab[i] = [idxs[k % len(idxs)] for k in range(n_answers)]
+        batch["answer_set"] = tab
+        if n is not None and n < N and staged:
+            # wrap-fill the padded tail with the epoch's first rows so
+            # every staged batch is full (weight stays 1 — real
+            # questions repeated, as an epoch wrap would)
+            first = staged[0]
+            for k, v in batch.items():
+                if k == "img_idx":
+                    continue
+                ax = n_axis(k)
+                keep = np.take(v, np.arange(n), axis=ax)
+                # dedup already popped 'image' from staged batches; the
+                # fill rows' paths (first_paths) are all in uid, so their
+                # image VALUES are never read — any placeholder rows do
+                fill = np.take(first[k] if k in first else v,
+                               np.arange(N - n), axis=ax)
+                batch[k] = np.concatenate([keep, fill], axis=ax)
+            if dedup:
+                paths = list(paths[:n]) + list(first_paths[:N - n])
+        if dedup:
+            img = np.asarray(batch.pop("image"))
+            idx = np.empty((N,), np.int32)
+            for i, p in enumerate(paths):
+                if p not in uid:
+                    uid[p] = len(uniq_images)
+                    uniq_images.append(img[i])
+                idx[i] = uid[p]
+            batch["img_idx"] = idx
+        if first_paths is None and paths is not None:
+            first_paths = list(paths)
+        staged.append({k: np.asarray(v) for k, v in batch.items()})
+    if dedup and len(uniq_images) > 0.9 * len(staged) * N:
+        table = np.stack(uniq_images)
+        for b in staged:
+            b["image"] = table[b.pop("img_idx")]
+        uniq_images, dedup = [], False
+    stacked = {k: np.stack([b[k] for b in staged]) for k in staged[0]}
+    shared = ({"images_unique": np.stack(uniq_images)} if dedup else None)
+    f_dtype = jnp.bfloat16 if cfg.device_data_bf16 else jnp.float32
+    if dedup:
+        shared["images_unique"] = jnp.asarray(shared["images_unique"],
+                                              f_dtype)
+        shared = jax.device_put(shared)
+    elif cfg.device_data_bf16:
+        stacked["image"] = jnp.asarray(stacked["image"], jnp.bfloat16)
+    device_data = jax.device_put(stacked)
+    gb = sum(v.nbytes for v in device_data.values()) / 1e9
+    gb += sum(v.nbytes for v in (shared or {}).values()) / 1e9
+    print(f"device-resident training: {len(staged)} batches staged "
+          f"({gb:.1f} GB"
+          + (f", {len(uniq_images)} unique images" if dedup else "")
+          + ")", flush=True)
+
+    if cfg.mode == "cloning":
+        inner = cloning_step_body(
+            model, tx, cfg.weight_decay, dropout_training=True,
+            txtatt_loss_weight=cfg.txtatt_loss_weight)
+    else:
+        inner = rl_step_body(
+            model, tx, cfg.weight_decay, cfg.lambda_entropy,
+            cfg.invalid_expr_loss, cfg.baseline_decay,
+            dropout_training=True)
+
+    def body(state, batch):
+        batch = dict(batch)
+        if "images_unique" in batch:
+            batch["image"] = batch.pop("images_unique")[
+                batch.pop("img_idx")]
+        batch["image"] = batch["image"].astype(jnp.float32)
+        # per-iteration answer sampling ON DEVICE (reference
+        # data_reader.py:106-109); key is independent of the step body's
+        # own split of state.rng by fold_in construction
+        tab = batch.pop("answer_set")
+        kk = jax.random.randint(jax.random.fold_in(state.rng, 7919),
+                                (tab.shape[0],), 0, tab.shape[1])
+        batch["label"] = jnp.take_along_axis(tab, kk[:, None],
+                                             axis=1)[:, 0]
+        return inner(state, batch)
+
+    return drive_chunked_training(body, device_data, shared, state, cfg,
+                                  logger, snapshot_dir)
+
+
 def train(cfg: VqaConfig, pretrained_model: Optional[str] = None):
     use_gt = cfg.mode == "cloning"
     imdb = _load_imdb(cfg, cfg.imdb_trn)
@@ -207,15 +355,20 @@ def train(cfg: VqaConfig, pretrained_model: Optional[str] = None):
         # grid dim there (build_model maps it to D_feat_raw)
         cfg = infer_feature_dims(cfg, imdb)
     model, grammar = build_model(cfg, sampling=cfg.decoder_sampling)
-    reader = make_reader(cfg, imdb, grammar, load_gt_layout=True
-                         if use_gt else None)
+    device_resident = cfg.device_data or cfg.device_data_bf16
+    # device_data mode builds its own one-pass reader; constructing this
+    # one too would spin up a second prefetch thread for nothing
+    reader = None if device_resident else make_reader(
+        cfg, imdb, grammar, load_gt_layout=True if use_gt else None)
 
     key = jax.random.PRNGKey(cfg.seed)
     params = model.init(key)
     if cfg.from_images and cfg.resnet_weights:
         params = _load_resnet_weights(cfg, params)
     if pretrained_model:
-        params, _ = load_params(pretrained_model, params)
+        params, _ = load_params(
+            pretrained_model, params,
+            allow_missing=("resnet/",) if cfg.from_images else ())
         print(f"restored pretrained model from {pretrained_model}")
     else:
         params = maybe_load_glove(cfg, params)
@@ -223,6 +376,12 @@ def train(cfg: VqaConfig, pretrained_model: Optional[str] = None):
     state = create_train_state(
         params, tx, jax.random.fold_in(key, 1),
         baseline_init=cfg.invalid_expr_loss if cfg.mode == "rl" else 0.0)
+
+    if device_resident:
+        snapshot_dir = os.path.join(cfg.root, "tfmodel", cfg.exp_name)
+        logger = MetricsLogger(os.path.join(cfg.root, "tb"), cfg.exp_name)
+        return _train_device_resident(cfg, model, grammar, imdb, state,
+                                      tx, use_gt, snapshot_dir, logger)
 
     use_txtatt = cfg.mode == "cloning" and cfg.txtatt_loss_weight > 0
     if cfg.mode == "cloning":
@@ -298,7 +457,8 @@ def evaluate(cfg: VqaConfig, exp_name, snapshot_name, test_split,
     params_t = model.init(jax.random.PRNGKey(0))
     params, _ = load_params(
         os.path.join(cfg.root, "tfmodel", exp_name, snapshot_name),
-        params_t)
+        params_t,
+        allow_missing=("resnet/",) if cfg.from_images else ())
     if cfg.from_images and cfg.resnet_weights:
         params = _load_resnet_weights(cfg, params)
     eval_step = make_eval_step(model)

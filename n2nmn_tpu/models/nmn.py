@@ -86,6 +86,20 @@ class NMNConfig:
     # introduces (modules/clevr.py:init_params count note).
     count_mlp_ext: bool = False
 
+    def __post_init__(self):
+        # ADVICE r4: both flags silently misconfigure otherwise —
+        # scene_bounded without scene_ext is a no-op (the scene block is
+        # gated on scene_ext), and num_res_ext supersedes rather than
+        # composes with num_mlp_ext (modules/clevr.py checks num_res
+        # first).
+        if self.scene_bounded and not self.scene_ext:
+            raise ValueError("scene_bounded is a modifier on scene_ext; "
+                             "pass --scene_ext too (it is a no-op alone)")
+        if self.num_mlp_ext and self.num_res_ext:
+            raise ValueError("num_mlp_ext and num_res_ext are mutually "
+                             "exclusive count-comparison heads "
+                             "(num_res_ext supersedes num_mlp_ext)")
+
     @property
     def freeze_vgg(self) -> bool:
         """Deprecated alias for freeze_backbone (the flag has always also

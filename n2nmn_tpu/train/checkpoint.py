@@ -53,16 +53,24 @@ def save_params(path, params, extra=None):
     np.savez(path if path.endswith(".npz") else path + ".npz", **flat)
 
 
-def load_params(path, template, exclude=(), dtype=None):
+def load_params(path, template, exclude=(), dtype=None, allow_missing=()):
     """Restore into a copy of ``template``; paths matching any prefix in
     ``exclude`` keep the template's value (partial restore). Returns
-    (params, extra_dict)."""
+    (params, extra_dict).
+
+    Template keys ABSENT from the checkpoint are an ERROR unless they
+    match a prefix in ``exclude`` or ``allow_missing`` (or allow_missing
+    is True). Silently keeping a fresh init for them would e.g. let a
+    parity snapshot evaluate with --scene_ext and run an untrained
+    objectness head, reporting silently-wrong _Scene-family accuracy —
+    extension flags must match the snapshot (ADVICE r4 medium)."""
     if not path.endswith(".npz"):
         path = path + ".npz"
     data = np.load(path)
     params = jax.tree_util.tree_map(lambda x: x, template)  # shallow copy
     extra = {}
     tmpl_flat = _flatten(template)
+    seen = set()
     for key in data.files:
         if key.startswith("__extra__/"):
             extra[key[len("__extra__/"):]] = data[key]
@@ -79,6 +87,19 @@ def load_params(path, template, exclude=(), dtype=None):
                 f"shape mismatch for {key!r}: template "
                 f"{tmpl_flat[key].shape} vs checkpoint {value.shape}")
         _set_path(params, key, jnp.asarray(value))
+        seen.add(key)
+    if allow_missing is not True:
+        allow = tuple(exclude) + tuple(allow_missing)
+        missing = [k for k in tmpl_flat if k not in seen
+                   and not any(k.startswith(p) for p in allow)]
+        if missing:
+            raise KeyError(
+                f"{len(missing)} template param(s) absent from checkpoint "
+                f"{path!r} (first: {missing[:4]}). The model config does "
+                "not match the snapshot — extension flags like "
+                "--scene_ext/--num_mlp_ext/--count_mlp_ext must be the "
+                "ones the snapshot was trained with. Pass allow_missing= "
+                "prefixes (or True) for an intentional partial restore.")
     return params, extra
 
 

@@ -253,6 +253,61 @@ def make_chunked_trainer(body, data_on_device, num_batches: int,
     return runner
 
 
+def drive_chunked_training(body, device_data, shared, state, cfg, logger,
+                           snapshot_dir):
+    """Drive make_chunked_trainer to cfg.max_iter with the reference's
+    log/snapshot cadence (uses cfg.{chunk_steps, log_interval, max_iter,
+    snapshot_interval}; shared by the CLEVR-flagship and VQA-flagship
+    device-resident trainers)."""
+    from n2nmn_tpu.train.checkpoint import save_params, snapshot_path
+
+    B = next(iter(device_data.values())).shape[0]
+    C = cfg.chunk_steps or max(cfg.log_interval, 200)
+    L = cfg.log_interval
+    chunk = make_chunked_trainer(body, device_data, B, C,
+                                 shared_data=shared)
+    chunk_last = None
+    n_iter = 0
+    while n_iter < cfg.max_iter:
+        k = min(C, cfg.max_iter - n_iter)
+        if k < C:
+            if chunk_last is None:
+                chunk_last = make_chunked_trainer(body, device_data, B, k,
+                                                  shared_data=shared)
+            state, auxs = chunk_last(state, jnp.asarray(n_iter % B))
+        else:
+            state, auxs = chunk(state, jnp.asarray(n_iter % B))
+        import numpy as np
+        auxs = jax.tree_util.tree_map(np.asarray, auxs)
+        # replay the chunk's per-step aux rows at the reference log
+        # cadence (EMA per iteration, print/log every L)
+        for i in range(k):
+            avg_acc = logger.update_accuracy(float(auxs["accuracy"][i]))
+            it = n_iter + i + 1
+            if it % L == 0 or it == cfg.max_iter:
+                print("iter = %d\n\tloss = %f, accuracy (cur) = %f, "
+                      "accuracy (avg) = %f, entropy = %f, validity = %f"
+                      % (it, float(auxs["loss"][i]),
+                         float(auxs["accuracy"][i]), avg_acc,
+                         float(auxs["entropy"][i]),
+                         float(auxs["validity"][i])), flush=True)
+                logger.log(it,
+                           {**{key: float(v[i])
+                               for key, v in auxs.items()},
+                            "avg_accuracy": avg_acc,
+                            "baseline": float(state.baseline)})
+        n_iter += k
+        if (n_iter % cfg.snapshot_interval < k
+                or n_iter == cfg.max_iter):
+            path = snapshot_path(snapshot_dir, n_iter)
+            save_params(path, state.params,
+                        extra={"baseline": state.baseline})
+            print("snapshot saved to " + path, flush=True)
+
+    logger.close()
+    return state
+
+
 def make_eval_step(model):
     """Greedy-decode eval step returning scores/tokens/validity."""
 
