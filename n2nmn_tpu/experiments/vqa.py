@@ -442,6 +442,19 @@ def evaluate(cfg: VqaConfig, exp_name, snapshot_name, test_split,
     the imdb carries the 10 human answers (mini-VQA / val splits built
     with annotations) the official VQA metric is additionally computed
     via data/vqa_grader.py."""
+    return evaluate_many(cfg, exp_name, [snapshot_name], test_split,
+                         batch_size=batch_size)[snapshot_name]
+
+
+def evaluate_many(cfg: VqaConfig, exp_name, snapshot_names, test_split,
+                  batch_size=50):
+    """Evaluate several snapshots of one experiment over one split,
+    staging the split's batches on device ONCE (cf.
+    experiments/clevr.evaluate_many — at the real 14x14x2048 geometry a
+    split is ~4.7 GB and this tunnel moves ~40 MB/s, so per-snapshot
+    re-upload would dominate a select-by-val sweep). Per-snapshot
+    semantics identical to the single-snapshot ``evaluate``. Returns
+    {snapshot_name: results dict}."""
     imdb_file = f"data/imdb/imdb_{test_split}.npy"
     imdb = _load_imdb(cfg, imdb_file)
     if not cfg.from_images:
@@ -454,18 +467,7 @@ def evaluate(cfg: VqaConfig, exp_name, snapshot_name, test_split,
     assert answer_word_list[0] == "<unk>", \
         "answer list must start with <unk> (reference eval_vqa.py:105)"
 
-    params_t = model.init(jax.random.PRNGKey(0))
-    params, _ = load_params(
-        os.path.join(cfg.root, "tfmodel", exp_name, snapshot_name),
-        params_t,
-        allow_missing=("resnet/",) if cfg.from_images else ())
-    if cfg.from_images and cfg.resnet_weights:
-        params = _load_resnet_weights(cfg, params)
-    eval_step = make_eval_step(model)
-    rng = jax.random.PRNGKey(0)
-
-    layout_correct = layout_valid = num_questions = 0
-    output_qids_answers = []
+    cached = []
     for batch in reader.batches():
         n = batch.pop("n_real")
         qids = batch.pop("qid")[:n]
@@ -473,49 +475,69 @@ def evaluate(cfg: VqaConfig, exp_name, snapshot_name, test_split,
         for k in ("image_path", "qstr", "valid_answers", "all_answers",
                   "binary_label", "gt_txtatt", "label"):
             batch.pop(k, None)
-        out = eval_step(params, batch, rng)
-        scores = np.array(out["scores"])[:n]
-        scores[:, 0] = -1e10  # remove <unk> answer
-        preds = np.argmax(scores, axis=1)
-        tokens = np.asarray(out["tokens"])[:, :n]
-        if gt_layout is not None:
-            gt = gt_layout[:, :n]
-            t = min(tokens.shape[0], gt.shape[0])
-            layout_correct += int(np.sum(np.all(
-                np.logical_or(tokens[:t] == gt[:t],
-                              gt[:t] == grammar.eos_idx), axis=0)))
-        layout_valid += int(np.sum(np.asarray(out["validity"])[:n]))
-        num_questions += n
-        output_qids_answers += [
-            {"question_id": int(qid), "answer": answer_word_list[p]}
-            for qid, p in zip(qids, preds)]
+        cached.append((jax.device_put(batch), n, qids, gt_layout))
 
-    results = {
-        "layout_accuracy": layout_correct / max(num_questions, 1),
-        "layout_validity": layout_valid / max(num_questions, 1),
-        "num_questions": num_questions,
-    }
-    if len(imdb) and imdb[0].get("all_answers") is not None:
-        from n2nmn_tpu.data.vqa_grader import grade_predictions
-        graded = grade_predictions(
-            {r["question_id"]: r["answer"]
-             for r in output_qids_answers}, imdb)
-        results["answer_accuracy"] = graded["overall"]
-        results["accuracy_per_type"] = graded["per_type"]
-    save_dir = os.path.join(cfg.root, "results", exp_name)
-    os.makedirs(save_dir, exist_ok=True)
-    with open(os.path.join(save_dir,
-                           f"{snapshot_name}.{test_split}.txt"), "w") as f:
-        print(f"On split: {test_split}", file=f)
-        for k, v in results.items():
-            print(f"\t{k.replace('_', ' ')} = {v}", file=f)
-            print(f"{k.replace('_', ' ')} = {v} on {test_split}")
-    out_dir = os.path.join(cfg.root, "eval_outputs", exp_name)
-    os.makedirs(out_dir, exist_ok=True)
-    eval_output_file = os.path.join(
-        out_dir, f"vqa_OpenEnded_mscoco_{test_split}_"
-                 f"{exp_name}_{snapshot_name}_results.json")
-    with open(eval_output_file, "w") as f:
-        json.dump(output_qids_answers, f)
-    print("prediction file written to", eval_output_file)
+    params_t = model.init(jax.random.PRNGKey(0))
+    eval_step = make_eval_step(model)
+    rng = jax.random.PRNGKey(0)
+
+    all_results = {}
+    for snapshot_name in snapshot_names:
+        params, _ = load_params(
+            os.path.join(cfg.root, "tfmodel", exp_name, snapshot_name),
+            params_t,
+            allow_missing=("resnet/",) if cfg.from_images else ())
+        if cfg.from_images and cfg.resnet_weights:
+            params = _load_resnet_weights(cfg, params)
+
+        layout_correct = layout_valid = num_questions = 0
+        output_qids_answers = []
+        for batch, n, qids, gt_layout in cached:
+            out = eval_step(params, batch, rng)
+            scores = np.array(out["scores"])[:n]
+            scores[:, 0] = -1e10  # remove <unk> answer
+            preds = np.argmax(scores, axis=1)
+            tokens = np.asarray(out["tokens"])[:, :n]
+            if gt_layout is not None:
+                gt = gt_layout[:, :n]
+                t = min(tokens.shape[0], gt.shape[0])
+                layout_correct += int(np.sum(np.all(
+                    np.logical_or(tokens[:t] == gt[:t],
+                                  gt[:t] == grammar.eos_idx), axis=0)))
+            layout_valid += int(np.sum(np.asarray(out["validity"])[:n]))
+            num_questions += n
+            output_qids_answers += [
+                {"question_id": int(qid), "answer": answer_word_list[p]}
+                for qid, p in zip(qids, preds)]
+
+        results = {
+            "layout_accuracy": layout_correct / max(num_questions, 1),
+            "layout_validity": layout_valid / max(num_questions, 1),
+            "num_questions": num_questions,
+        }
+        if len(imdb) and imdb[0].get("all_answers") is not None:
+            from n2nmn_tpu.data.vqa_grader import grade_predictions
+            graded = grade_predictions(
+                {r["question_id"]: r["answer"]
+                 for r in output_qids_answers}, imdb)
+            results["answer_accuracy"] = graded["overall"]
+            results["accuracy_per_type"] = graded["per_type"]
+        save_dir = os.path.join(cfg.root, "results", exp_name)
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(
+                save_dir, f"{snapshot_name}.{test_split}.txt"), "w") as f:
+            print(f"On split: {test_split}", file=f)
+            for k, v in results.items():
+                print(f"\t{k.replace('_', ' ')} = {v}", file=f)
+                print(f"{k.replace('_', ' ')} = {v} on {test_split}")
+        out_dir = os.path.join(cfg.root, "eval_outputs", exp_name)
+        os.makedirs(out_dir, exist_ok=True)
+        eval_output_file = os.path.join(
+            out_dir, f"vqa_OpenEnded_mscoco_{test_split}_"
+                     f"{exp_name}_{snapshot_name}_results.json")
+        with open(eval_output_file, "w") as f:
+            json.dump(output_qids_answers, f)
+        print("prediction file written to", eval_output_file)
+        all_results[snapshot_name] = results
+    return all_results
     return results

