@@ -36,6 +36,9 @@ parser.add_argument("--scene_bounded", action="store_true",
 parser.add_argument("--count_mlp_ext", action="store_true",
                     help="framework extension: MLP _Count head "
                          "(experiments/clevr.py)")
+parser.add_argument("--pretrained_model", type=str, default=None,
+                    help="warm-start weights (continuation probes; the "
+                         "reference only warm-starts its RL configs)")
 args = parser.parse_args()
 
 import dataclasses
@@ -58,4 +61,4 @@ if args.from_images:
 if args.device_data or args.device_data_bf16:
     cfg = dataclasses.replace(cfg, device_data=True,
                               device_data_bf16=args.device_data_bf16)
-clevr.train(cfg)
+clevr.train(cfg, pretrained_model=args.pretrained_model)

@@ -13,6 +13,11 @@ parser.add_argument("--data_root", type=str, default=None)
 parser.add_argument("--from_images", action="store_true",
                     help="raw images via in-graph frozen VGG pool5")
 parser.add_argument("--vgg_weights", type=str, default=None)
+parser.add_argument("--device_data", action="store_true",
+                    help="stage the whole training set in HBM, train in "
+                         "jitted chunks (experiments/clevr.py:device_data)")
+parser.add_argument("--device_data_bf16", action="store_true",
+                    help="device_data with bf16 feature staging")
 parser.add_argument("--scene_ext", action="store_true",
                     help="framework extension: learned objectness _Scene "
                          "attention (must match the snapshot)")
@@ -32,5 +37,8 @@ if args.data_root is not None:
     overrides["root"] = args.data_root
 if args.from_images:
     overrides.update(from_images=True, vgg_weights=args.vgg_weights)
+if args.device_data or args.device_data_bf16:
+    overrides.update(device_data=True,
+                     device_data_bf16=args.device_data_bf16)
 cfg = clevr.scratch_config(**overrides)
 clevr.train(cfg)

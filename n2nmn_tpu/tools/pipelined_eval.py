@@ -133,6 +133,16 @@ def _bench(args):
         jax.block_until_ready(outs)
         pipe_qps = 2 * args.iters * half / (time.perf_counter() - t0)
 
+        if args.trace_dir:
+            # short traced lap for tools/trace_ops attribution of the
+            # anti-scaling past 2x512 (VERDICT r4 weak #3)
+            d = f"{args.trace_dir}/pipelined_{n}"
+            with jax.profiler.trace(d):
+                outs = run_pipelined(model, params, b_half[:6], rng,
+                                     fns=fns)
+                jax.block_until_ready(outs)
+            print(f"trace written to {d}", flush=True)
+
         row = {"batch": n, "half": half, "fused_qps": round(fused_qps, 1),
                "pipelined_qps": round(pipe_qps, 1),
                "speedup": round(pipe_qps / fused_qps, 3)}
@@ -150,4 +160,7 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, nargs="+", default=[512, 1024])
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--out", default=None)
+    p.add_argument("--trace_dir", default=None,
+                   help="capture a jax.profiler trace per batch size "
+                        "(fold with tools/trace_ops)")
     _bench(p.parse_args())

@@ -99,6 +99,11 @@ def main():
                    default="./exp_vqa_flag/results/vqa_flagship_r5.jsonl")
     args = p.parse_args()
     for seed in args.seeds:
+        # graceful bound: killing a TPU process mid-step can wedge the
+        # tunnel (CLAUDE.md); touch this file to stop between seeds
+        if os.path.exists("/tmp/vqa_flag_stop"):
+            print("VQA-FLAG-STOPPED by sentinel", flush=True)
+            return
         run_seed(seed, args.root, args.out, max_iter=args.max_iter,
                  rl_max_iter=args.rl_max_iter)
         print(f"VQA-FLAG-SEED-DONE seed={seed} {time.ctime()}",
