@@ -334,6 +334,20 @@ def bench_from_images():
             n_q / dt_d)
 
 
+def _trained_serving_summary():
+    """Quote the trained-snapshot serving artifact when present (see the
+    JSON-key comment at the call site)."""
+    path = "perf/trained_serving_compose_rlfull_r5.json"
+    try:
+        with open(path) as f:
+            sweep = json.load(f)["sweep"]
+    except (OSError, KeyError, ValueError):
+        return {}
+    best = max(r.get("pipelined+early_exit_qps", 0) for r in sweep)
+    return {"trained_serving_composed_qps": best,
+            "trained_serving_artifact": path}
+
+
 def main():
     (fused_qps, mfu, flops_per_q, xla_flops_q, best_n,
      per_batch) = bench_fused_eval()
@@ -423,6 +437,12 @@ def main():
             "the dump (eval_clevr.py:93-165); device phases XLA, so "
             "conservative vs TF1+Fold"),
         "dtype": "bfloat16" if BF16 else "float32",
+        # trained-weight serving (random weights never emit <eos> early,
+        # so THIS bench cannot measure early-exit/composed modes; the
+        # numbers below are measured by tools/trained_serving_bench.py
+        # on the v2.1 RL snapshot with real questions and quoted from
+        # its committed artifact)
+        **_trained_serving_summary(),
     }))
 
 
