@@ -80,6 +80,11 @@ def _find_forward(img_mapped, txt, w, b):
         out_specs=pl.BlockSpec((_BN, hw), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_, hw), img_mapped.dtype),
+        # VQA-geometry blocks ([8, 196, 1024] f32) plus the in-kernel f32
+        # intermediate put scoped VMEM at ~20 MB, past the 16 MB default;
+        # v5e has 128 MB physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_interpret_mode(),
     )(img_p, txt_p[:, None, :], w.reshape(1, d), b.reshape(1, 1))
     return out[:n]
@@ -298,6 +303,8 @@ def fused_find_q(img_q, txt_eff, w, b, out_dtype):
         out_specs=pl.BlockSpec((_BN, hw), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_, hw), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=_interpret_mode(),
     )(img_p, txt_p[:, None, :], w.reshape(1, d), b.reshape(1, 1))
     return out[:n]
