@@ -51,6 +51,14 @@ CHAINS["flag_v21_rlscene_s0"] = dict(scene_ext=True)
 # edited afterwards, the snapshot keys are the ground truth
 CHAINS["flag_v21_gtcombo_s0"] = dict(num_mlp_ext=True, scene_ext=True)
 CHAINS["flag_v21_rlcombo_s0"] = dict(num_mlp_ext=True, scene_ext=True)
+# full2 = full with the residual comparison heads (num_res_ext) in
+# place of the pure-MLP ones (scripts/r5_queue4.sh); these chains are
+# NOT in the default sweep list — pass them via --exps once trained
+FULL2_EXT = dict(num_res_ext=True, scene_ext=True, scene_bounded=True,
+                 count_mlp_ext=True)
+for s in (0, 1, 2):
+    CHAINS[f"flag_v21_gtfull2_s{s}"] = FULL2_EXT
+    CHAINS[f"flag_v21_rlfull2_s{s}"] = FULL2_EXT
 
 
 def _snapshots(root, exp_name):
